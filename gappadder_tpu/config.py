@@ -1,0 +1,133 @@
+"""Configuration: drop-in compatible with the reference's JSON schema.
+
+The reference parses a single JSON file into module globals
+(/root/reference/main.py:42-117, Utility.py:1-128). Here the same keys
+load into an immutable dataclass, the implicit hard-coded constants are
+surfaced as real (overridable) fields (SURVEY.md §5 "Config"), and a
+``tpu`` section adds mesh / batching knobs that have no reference
+equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Library:
+    """One read library: its BAM alignment + raw FASTQ pair.
+
+    Mirrors the paired "alignments" / "raw_reads" records of the
+    reference config (/root/reference/configuration.json)."""
+    bam: str
+    insert_size: int
+    std: int
+    left_fq: str | None = None
+    right_fq: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuParams:
+    """TPU-native knobs (no reference equivalent)."""
+    mesh_shape: tuple[int, ...] = (1,)
+    mesh_axes: tuple[str, ...] = ("dp",)
+    max_gaps: int = 1 << 16          # static bound for jitted gap scan
+    read_batch: int = 1 << 16        # reads per classification batch
+    gap_bucket_sizes: tuple[int, ...] = (1 << 10, 1 << 13, 1 << 16)
+    use_pallas: bool = True          # fall back to pure-XLA kernels if False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    draft_genome: str
+    libraries: tuple[Library, ...] = ()
+    kmers: tuple[tuple[int, int], ...] = ((40, 39),)  # (k, sub_k) pairs
+    working_folder: str = "gappadder_work"
+    min_gap_size: int = 100          # main.py reference default config
+    flank_length: int = 300
+    nthreads: int = 1
+    verbose: bool = False
+    # constants the reference hard-codes (SURVEY.md §5):
+    anchor_mapq: int = 30            # main.py:215
+    clip_dist: int = 250             # main.py:216
+    flank_margin: int = 5            # gnrt_pos_true_seqs.py:95-99
+    long_insert_threshold: int = 750  # collect_reads_for_gaps.py:276
+    high_quality_mapq: int = 60      # run_multi_threads_discordant.py:476
+    discordant_window: tuple[int, int] = (200, 300)  # collect_discordant_low_mapq_reads.py:21-25
+    min_contig_len: int = 40         # velvetg -min_contig_lgth 40
+    pick_min_score_round1: int = 30  # assemble_gaps.py:336
+    pick_min_score_final: int = 15   # assemble_gaps.py:365
+    dedup_cutoff: float = 0.99       # MergeContigs.py:73-99
+    merge_max_frac_score_loss: float = 0.4   # ContigsMerger -s
+    merge_min_overlap_len: int = 12          # ContigsMerger -x
+    merge_max_clip_len: int = 50             # ContigsMerger -y
+    merge_kmer_len: int = 10                 # ContigsMerger -k
+    merge_min_support_kmer: int = 1          # ContigsMerger -m
+    tpu: TpuParams = dataclasses.field(default_factory=TpuParams)
+
+    @property
+    def workdir(self) -> str:
+        return self.working_folder.rstrip("/") + "/"
+
+
+def load_config(path: str) -> Config:
+    """Load a reference-schema JSON config (configuration.json layout)."""
+    with open(path) as fh:
+        data = json.load(fh)
+    return config_from_dict(data, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
+    def _resolve(p):
+        if p is None:
+            return None
+        return p if os.path.isabs(p) else os.path.join(base_dir, p)
+
+    draft = _resolve(data["draft_genome"]["fa"])
+
+    raw_reads = data.get("raw_reads", [])
+    libs = []
+    for i, rec in enumerate(data.get("alignments", [])):
+        left = right = None
+        if i < len(raw_reads):
+            left = _resolve(raw_reads[i].get("left"))
+            right = _resolve(raw_reads[i].get("right"))
+        libs.append(Library(bam=_resolve(rec["bam"]), insert_size=int(rec["is"]),
+                            std=int(rec["std"]), left_fq=left, right_fq=right))
+
+    kmers = []
+    for rec in data.get("kmer_length", []):
+        k = int(rec["k"])
+        for sub in rec.get("k_velvet", []):
+            kmers.append((k, int(sub["k"])))
+    if not kmers:
+        kmers = [(40, 39)]
+
+    params = data.get("parameters", {})
+    tpu_raw = data.get("tpu", {})
+    tpu = TpuParams(
+        mesh_shape=tuple(tpu_raw.get("mesh_shape", (1,))),
+        mesh_axes=tuple(tpu_raw.get("mesh_axes", ("dp",))),
+        max_gaps=int(tpu_raw.get("max_gaps", TpuParams.max_gaps)),
+        read_batch=int(tpu_raw.get("read_batch", TpuParams.read_batch)),
+        gap_bucket_sizes=tuple(tpu_raw.get("gap_bucket_sizes",
+                                           TpuParams.gap_bucket_sizes)),
+        use_pallas=bool(tpu_raw.get("use_pallas", True)),
+    )
+
+    kwargs: dict[str, Any] = {}
+    for field in ("min_gap_size", "flank_length", "nthreads", "anchor_mapq",
+                  "clip_dist", "flank_margin", "long_insert_threshold",
+                  "high_quality_mapq", "min_contig_len"):
+        if field in params:
+            kwargs[field] = int(params[field])
+    if "verbose" in params:
+        kwargs["verbose"] = bool(int(params["verbose"]))
+    if "working_folder" in params:
+        kwargs["working_folder"] = _resolve(params["working_folder"])
+
+    return Config(draft_genome=draft, libraries=tuple(libs),
+                  kmers=tuple(kmers), tpu=tpu, **kwargs)

@@ -1,0 +1,161 @@
+"""Vectorized N-run (gap) detection and flank extraction.
+
+TPU-native replacement for the reference's per-scaffold string-scan
+loop (``DGProcessor.gnrt_gap_positions``,
+/root/reference/gnrt_pos_true_seqs.py:12-56) and flank slicing
+(``get_gap_flank_seqs``, :59-100).
+
+Semantics matched to the reference:
+  * a gap is a maximal run of non-ACGT codes (the reference starts at
+    'N' and ends at the next A/C/G/T, so interior non-N ambiguity codes
+    are swallowed into the gap);
+  * a run with no ACGT after it in the same scaffold (trailing Ns) is
+    dropped (reference: ``min_pos==-1 -> break``);
+  * runs shorter than ``min_gap_size`` are dropped;
+  * gap ids are "<scaffold_idx>_<n>" with n starting at 1 per scaffold;
+  * left flank  = scaffold[max(0, start-flank_len) : start-margin]
+    right flank = scaffold[end+margin : end+flank_len]  (margin=5).
+
+Everything is fixed-shape: the scan is jittable with a static
+``max_gaps`` bound and shards cleanly along the genome axis (the mask
+/ cumsum ops are embarrassingly parallel; XLA partitions them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dna
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap_size", "max_gaps"))
+def find_gap_runs(seq, min_gap_size: int, max_gaps: int):
+    """Locate qualifying N-runs in a concatenated genome code array.
+
+    Args:
+      seq: int8 [L] codes (SEP between scaffolds).
+      min_gap_size: minimum run length to report.
+      max_gaps: static bound on the number of returned runs.
+
+    Returns:
+      starts, ends: int32 [max_gaps] global coordinates (end exclusive),
+        padded with -1 beyond the valid count.
+      count: int32 scalar, number of valid runs.
+    """
+    is_gap = seq == dna.N
+    prev = jnp.concatenate([jnp.zeros(1, bool), is_gap[:-1]])
+    nxt = jnp.concatenate([is_gap[1:], jnp.zeros(1, bool)])
+    start_mask = is_gap & ~prev
+    end_mask = is_gap & ~nxt
+
+    # trailing-run detection: a run qualifies only if some ACGT follows
+    # before the next SEP. Scan right-to-left: for each position, does an
+    # ACGT appear later in the same scaffold?
+    is_acgt = seq < dna.N
+    is_sep = seq == dna.SEP
+    # segment id increases at each SEP; suffix-max of is_acgt within segment:
+    # reverse, segment-wise cumulative-or via cummax on int.
+    rev_acgt = is_acgt[::-1].astype(jnp.int32)
+    rev_sep = is_sep[::-1]
+    seg = jnp.cumsum(rev_sep.astype(jnp.int32))
+    # cummax of rev_acgt keyed by segment: encode (seg, flag) so resets work
+    enc = seg * 2 + rev_acgt
+    run = jax.lax.cummax(enc)
+    acgt_follows = (run - seg * 2)[::-1] > 0  # flag survives within segment
+
+    starts_all = jnp.nonzero(start_mask, size=max_gaps, fill_value=-1)[0]
+    ends_all = jnp.nonzero(end_mask, size=max_gaps, fill_value=-1)[0]
+    valid = starts_all >= 0
+    ends_excl = jnp.where(valid, ends_all + 1, -1)
+    length = jnp.where(valid, ends_excl - starts_all, 0)
+    keep = valid & (length >= min_gap_size) & acgt_follows[jnp.clip(starts_all, 0, seq.shape[0] - 1)]
+
+    # compact kept runs to the front, preserving order
+    order = jnp.argsort(~keep, stable=True)
+    starts = jnp.where(keep[order], starts_all[order], -1).astype(jnp.int32)
+    ends = jnp.where(keep[order], ends_excl[order], -1).astype(jnp.int32)
+    count = jnp.sum(keep).astype(jnp.int32)
+    return starts, ends, count
+
+
+@functools.partial(jax.jit, static_argnames=("flank_len", "margin"))
+def extract_flanks(seq, starts, ends, scaf_begin, scaf_end,
+                   flank_len: int, margin: int = 5):
+    """Gather fixed-width left/right flanks for a batch of gaps.
+
+    Args:
+      seq: int8 [L] concatenated genome.
+      starts, ends: int32 [G] global gap coords (end exclusive); -1 pads.
+      scaf_begin, scaf_end: int32 [G] global bounds of each gap's scaffold.
+      flank_len: window width (reference ``flank_length``).
+      margin: bases dropped next to the gap (reference hard-codes 5).
+
+    Returns:
+      left, right: int8 [G, flank_len] codes, both LEFT-aligned in the
+        array and N-padded after their length; left[g, :left_len[g]]
+        ends at start-margin, right[g, :right_len[g]] begins at
+        end+margin.
+      left_len, right_len: int32 [G].
+    """
+    G = starts.shape[0]
+    pad = starts < 0
+
+    l_end = jnp.maximum(starts - margin, scaf_begin)           # exclusive
+    l_begin = jnp.maximum(starts - flank_len, scaf_begin)
+    left_len = jnp.where(pad, 0, jnp.maximum(l_end - l_begin, 0))
+
+    r_begin = jnp.minimum(ends + margin, scaf_end)
+    r_end = jnp.minimum(ends + flank_len, scaf_end)            # exclusive
+    right_len = jnp.where(pad, 0, jnp.maximum(r_end - r_begin, 0))
+
+    offs = jnp.arange(flank_len, dtype=jnp.int32)
+    # left flank, left-aligned: position j holds seq[l_end - left_len + j]
+    l_idx = l_end[:, None] - left_len[:, None] + offs[None, :]
+    l_ok = offs[None, :] < left_len[:, None]
+    left = jnp.where(l_ok, seq[jnp.clip(l_idx, 0, seq.shape[0] - 1)], dna.N)
+
+    r_idx = r_begin[:, None] + offs[None, :]
+    r_ok = offs[None, :] < right_len[:, None]
+    right = jnp.where(r_ok, seq[jnp.clip(r_idx, 0, seq.shape[0] - 1)], dna.N)
+    return (left.astype(jnp.int8), right.astype(jnp.int8),
+            left_len.astype(jnp.int32), right_len.astype(jnp.int32))
+
+
+def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
+    """Host convenience wrapper: run the jitted scan on a Genome and
+    return a dict of numpy columns with per-scaffold gap numbering."""
+    seq = genome.seq
+    if seq.shape[0] == 0:
+        z = np.zeros(0, np.int64)
+        return {"start": z, "end": z, "scaffold": z, "number": z,
+                "local_start": z, "local_end": z}
+    if max_gaps is None:
+        # exact bound: number of N-run starts (nonzero slots are consumed
+        # by ALL runs, including sub-min_gap_size ones)
+        is_gap = seq == dna.N
+        starts_mask = is_gap.copy()
+        starts_mask[1:] &= ~is_gap[:-1]
+        max_gaps = max(16, int(starts_mask.sum()))
+    starts, ends, count = find_gap_runs(jnp.asarray(seq), min_gap_size, max_gaps)
+    n = int(count)
+    starts = np.asarray(starts)[:n]
+    ends = np.asarray(ends)[:n]
+    scaf = genome.scaffold_index(starts)
+    # per-scaffold counter starting at 1 (reference gap-id contract)
+    counter = np.zeros(n, dtype=np.int64)
+    seen: dict[int, int] = {}
+    for i, s in enumerate(scaf):
+        seen[s] = seen.get(s, 0) + 1
+        counter[i] = seen[s]
+    return {
+        "start": starts.astype(np.int64),
+        "end": ends.astype(np.int64),
+        "scaffold": scaf.astype(np.int64),
+        "number": counter,
+        "local_start": starts - genome.offsets[scaf],
+        "local_end": ends - genome.offsets[scaf],
+    }

@@ -1,0 +1,92 @@
+"""Preprocess stage: gap positions + flank extraction.
+
+Equivalent of ``main.py -c Preprocess`` in the reference
+(/root/reference/main.py:222-225 -> gnrt_pos_true_seqs.py:12-100), but
+as one batched device computation over the whole concatenated genome
+instead of a per-scaffold Python string scan, and with the gap-id
+contract ("<scaffold_idx>_<n>", n from 1) made explicit in a table that
+every later stage consumes (the reference re-derives it in four
+modules — SURVEY.md §1).
+
+Outputs (in the workspace):
+  gaps.npz      columns: start/end (global), scaffold, number,
+                local_start/local_end, flank arrays + lengths
+  gap_positions.txt   reference-format text file (parity/debug)
+  flank_regions/<gap_id>.fa  (optional, parity/debug)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dna
+from ..config import Config
+from ..io import fasta
+from ..ops import gapscan
+from .workspace import Workspace, config_hash
+
+
+def gap_ids(gaps: dict[str, np.ndarray]) -> list[str]:
+    """Format the reference gap-id strings for a gap table."""
+    return [f"{s}_{n}" for s, n in zip(gaps["scaffold"], gaps["number"])]
+
+
+def run_preprocess(cfg: Config, ws: Workspace | None = None,
+                   genome: fasta.Genome | None = None,
+                   write_parity_files: bool = False) -> dict[str, np.ndarray]:
+    """Scan the draft genome, extract flanks, checkpoint the gap table."""
+    if genome is None:
+        genome = fasta.read_fasta(cfg.draft_genome)
+    gaps = gapscan.scan_genome_np(genome, cfg.min_gap_size)
+    n = len(gaps["start"])
+
+    scaf = gaps["scaffold"]
+    scaf_begin = genome.offsets[scaf] if n else np.zeros(0, np.int64)
+    scaf_end = (genome.offsets[scaf] + genome.lengths[scaf]) if n else np.zeros(0, np.int64)
+
+    left, right, left_len, right_len = gapscan.extract_flanks(
+        jnp.asarray(genome.seq),
+        jnp.asarray(gaps["start"], jnp.int32), jnp.asarray(gaps["end"], jnp.int32),
+        jnp.asarray(scaf_begin, jnp.int32), jnp.asarray(scaf_end, jnp.int32),
+        flank_len=cfg.flank_length, margin=cfg.flank_margin)
+
+    table = dict(gaps)
+    table["flank_left"] = np.asarray(left)
+    table["flank_right"] = np.asarray(right)
+    table["flank_left_len"] = np.asarray(left_len)
+    table["flank_right_len"] = np.asarray(right_len)
+
+    if ws is not None:
+        ws.save_arrays("gaps", **table)
+        ws.save_json("scaffold_names", genome.names)
+        _write_gap_positions(ws.path("gap_positions.txt"), table, genome)
+        if write_parity_files:
+            _write_flank_fastas(ws.path("flank_regions"), table)
+        ws.mark_done("preprocess", config_hash(cfg), num_gaps=int(n))
+    return table
+
+
+def _write_gap_positions(path: str, table, genome: fasta.Genome) -> None:
+    """Reference format: 'start end length scaffold_name' per line
+    (gnrt_pos_true_seqs.py:54)."""
+    with open(path, "w") as fh:
+        for s, e, scaf in zip(table["local_start"], table["local_end"],
+                              table["scaffold"]):
+            fh.write(f"{s} {e} {e - s} {genome.names[scaf]}\n")
+
+
+def _write_flank_fastas(folder: str, table) -> None:
+    """Reference layout: flank_regions/<gap_id>.fa with two records
+    '<gap_id>_left' / '<gap_id>_right' (gnrt_pos_true_seqs.py:89-99)."""
+    os.makedirs(folder, exist_ok=True)
+    ids = gap_ids(table)
+    for i, gid in enumerate(ids):
+        ll = int(table["flank_left_len"][i])
+        rl = int(table["flank_right_len"][i])
+        lseq = table["flank_left"][i][:ll]
+        rseq = table["flank_right"][i][:rl]
+        fasta.write_fasta(os.path.join(folder, f"{gid}.fa"),
+                          [(f"{gid}_left", lseq), (f"{gid}_right", rseq)])
