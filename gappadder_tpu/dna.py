@@ -62,6 +62,7 @@ def revcomp_jnp(codes, length=None):
     if length is None:
         return comp[..., ::-1]
     n = codes.shape[-1]
-    idx = length - 1 - jnp.arange(n)
+    idx = jnp.asarray(length)[..., None] - 1 - jnp.arange(n)  # [..., n]
     ok = idx >= 0
-    return jnp.where(ok, jnp.take(comp, jnp.where(ok, idx, 0), axis=-1), N)
+    idx = jnp.broadcast_to(jnp.where(ok, idx, 0), comp.shape)
+    return jnp.where(ok, jnp.take_along_axis(comp, idx, axis=-1), N)

@@ -1,0 +1,281 @@
+"""Batched de-Bruijn unitig assembly — the Velvet replacement (L2).
+
+The reference assembles each gap's DISTINCT canonical k-mers (KMC
+output) with Velvet at a smaller sub_k
+(velveth/velvetg, /root/reference/assemble_gaps.py:104-122). Here the
+same computation is expressed as fixed-shape array ops so thousands of
+gaps assemble in parallel on device:
+
+  nodes  = distinct sub_k-mers of the k-strings (+ their revcomps:
+           double-stranded graph, like Velvet's)
+  edges  = distinct (sub_k+1)-mers; edge u->v where u/v are the
+           prefix/suffix sub_k-mers (every such u, v is a node by
+           construction)
+  unitig = maximal chain through nodes with outdeg(u)==1 == indeg(v)
+           along kept edges; compacted by pointer doubling (parallel
+           list ranking), cycles broken at their minimum node id
+  emit   = top `max_unitigs` chains by length >= min_len, materialized
+           as code arrays; reverse-complement twins deduplicated by
+           keeping the lexicographically smaller strand.
+
+Everything is O(E log E) sorts + gathers/scatters + O(log N) doubling
+steps; one gap is one vmap lane, so a [G, ...] batch runs as one XLA
+program (SURVEY.md §7 "hard parts" #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import dna
+from . import kmers
+
+FULL = jnp.uint32(0xFFFFFFFF)
+
+
+def _lex_less(a, b):
+    """Lexicographic a < b over trailing limb axis (uint32)."""
+    nl = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], bool)
+    gt = jnp.zeros(a.shape[:-1], bool)
+    for l in range(nl):
+        x, y = a[..., l], b[..., l]
+        lt = lt | (~gt & ~lt & (x < y))
+        gt = gt | (~lt & ~gt & (x > y))
+    return lt
+
+
+def _unique_compact(limbs):
+    """Sort [..., P, nl] k-mers, drop duplicates, compact to front.
+
+    Returns (keys [..., P, nl] sorted-unique then FULL padding,
+             n [...] distinct count excluding FULL)."""
+    s, _ = kmers.sort_kmers(limbs)
+    first = kmers.unique_mask(s)
+    validk = ~jnp.all(s == FULL, axis=-1)
+    keep = first & validk
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    keys = jnp.take_along_axis(s, order[..., None], axis=-2)
+    n = jnp.sum(keep, axis=-1).astype(jnp.int32)
+    P = limbs.shape[-2]
+    keys = jnp.where((jnp.arange(P) < n[..., None])[..., None], keys, FULL)
+    return keys, n
+
+
+def _prefix_kmer(edge_limbs, sub_k: int):
+    """First sub_k bases of a (sub_k+1)-mer (same limb layout)."""
+    nl_out = kmers.num_limbs(sub_k)
+    out = []
+    for l in range(nl_out):
+        v = edge_limbs[..., l]
+        used = min(16, sub_k - 16 * l)  # bases of this limb in prefix
+        mask = jnp.uint32(((1 << (2 * used)) - 1) << (32 - 2 * used))
+        out.append(v & mask)
+    res = jnp.stack(out, axis=-1)
+    invalid = jnp.all(edge_limbs == FULL, axis=-1, keepdims=True)
+    return jnp.where(invalid, FULL, res)
+
+
+def _suffix_kmer(edge_limbs, sub_k: int):
+    """Last sub_k bases of a (sub_k+1)-mer: shift left by one base."""
+    nl_in = edge_limbs.shape[-1]
+    nl_out = kmers.num_limbs(sub_k)
+    out = []
+    for l in range(nl_out):
+        v = edge_limbs[..., l] << 2
+        if l + 1 < nl_in:
+            v = v | (edge_limbs[..., l + 1] >> 30)
+        used = min(16, sub_k - 16 * l)
+        mask = jnp.uint32(((1 << (2 * used)) - 1) << (32 - 2 * used))
+        out.append(v & mask)
+    res = jnp.stack(out, axis=-1)
+    invalid = jnp.all(edge_limbs == FULL, axis=-1, keepdims=True)
+    return jnp.where(invalid, FULL, res)
+
+
+def _kmer_base(limbs, i: int):
+    """Base code at position i of a packed k-mer."""
+    l, j = divmod(i, 16)
+    return ((limbs[..., l] >> (30 - 2 * j)) & 0x3).astype(jnp.int8)
+
+
+def _join_ids_safe(node_keys, query_keys):
+    """For each query k-mer, the index of its key in node_keys.
+
+    node_keys: [N, nl] sorted-unique (FULL padded); query_keys: [Q, nl].
+    Sort-merge join: tag nodes 0 / queries 1, sort by (key, tag), then
+    forward-propagate the last node id (cummax works because node ids
+    increase with key order). All non-FULL queries are guaranteed hits
+    here (every edge prefix/suffix is a node); FULL queries are masked
+    by callers.
+    """
+    N, nl = node_keys.shape
+    Q = query_keys.shape[0]
+    keys = jnp.concatenate([node_keys, query_keys], axis=0)
+    tag = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(Q, jnp.int32)])
+    payload = jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                               jnp.arange(Q, dtype=jnp.int32)])
+    ops = [keys[:, l] for l in range(nl)] + [tag, payload]
+    res = jax.lax.sort(tuple(ops), dimension=0, num_keys=nl + 1)
+    stag, spay = res[nl], res[nl + 1]
+    nid = jnp.where(stag == 0, spay, -1)
+    prop = jax.lax.cummax(nid)
+    is_q = stag == 1
+    # scatter: only query rows write (non-query rows target dumping slot Q)
+    tgt = jnp.where(is_q, spay, Q)
+    out = jnp.zeros(Q + 1, jnp.int32).at[tgt].set(prop, mode="drop")
+    return out[:Q]
+
+
+def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
+                            max_unitigs: int, max_len: int, min_len: int):
+    """Assemble one gap's distinct k-mer strings into unitigs.
+
+    Args:
+      kstrings: int8 [M, k] distinct k-mer strings (rows >= n_kstrings
+        are padding and ignored).
+      n_kstrings: int32 scalar.
+      sub_k: DBG node size (< k).
+      max_unitigs / max_len: static output bounds (longest unitigs win).
+      min_len: drop unitigs shorter than this (velvetg -min_contig_lgth).
+
+    Returns:
+      seqs: int8 [max_unitigs, max_len] (N-padded),
+      lens: int32 [max_unitigs],
+      count: int32 scalar.
+    """
+    M, kk = kstrings.shape
+    assert kk == k and sub_k < k
+    row_valid = jnp.arange(M) < n_kstrings
+    fwd = jnp.where(row_valid[:, None], kstrings, dna.N)
+    rc = dna.revcomp_jnp(fwd)  # padding N stays N
+    both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
+    blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
+
+    # ---- nodes & edges ---------------------------------------------------
+    nlimb, _ = kmers.extract_kmers(both, blen, sub_k)         # [2M, P1, nl]
+    node_keys, n_nodes = _unique_compact(
+        nlimb.reshape(-1, nlimb.shape[-1])[None])             # [1, Pn, nl]
+    node_keys, n_nodes = node_keys[0], n_nodes[0]
+    N = node_keys.shape[0]
+
+    elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
+    edge_keys, n_edges = _unique_compact(
+        elimb.reshape(-1, elimb.shape[-1])[None])
+    edge_keys, n_edges = edge_keys[0], n_edges[0]
+    E = edge_keys.shape[0]
+    edge_valid = jnp.arange(E) < n_edges
+
+    u_keys = _prefix_kmer(edge_keys, sub_k)
+    v_keys = _suffix_kmer(edge_keys, sub_k)
+    u_id = _join_ids_safe(node_keys, u_keys)
+    v_id = _join_ids_safe(node_keys, v_keys)
+    u_id = jnp.where(edge_valid, u_id, N)
+    v_id = jnp.where(edge_valid, v_id, N)
+
+    # ---- degrees & chain edges ------------------------------------------
+    outdeg = jnp.zeros(N + 1, jnp.int32).at[u_id].add(1, mode="drop")
+    indeg = jnp.zeros(N + 1, jnp.int32).at[v_id].add(1, mode="drop")
+    chain = edge_valid & (outdeg[u_id] == 1) & (indeg[v_id] == 1)
+    # prev[v] = u along chain edges; prev[x] = x elsewhere
+    prev = jnp.arange(N + 1, dtype=jnp.int32)
+    prev = prev.at[jnp.where(chain, v_id, N)].set(
+        jnp.where(chain, u_id, N), mode="drop")
+    is_head = prev[:N] == jnp.arange(N)     # no incoming chain edge
+    node_valid = jnp.arange(N) < n_nodes
+    is_head = is_head & node_valid
+
+    # ---- pointer doubling: find head + cycle break ----------------------
+    T = max(1, (2 * N - 1).bit_length())
+    p = prev[:N]
+    mn = jnp.arange(N, dtype=jnp.int32)     # min id seen on prefix path
+    for _ in range(T):
+        mn = jnp.minimum(mn, mn[p])
+        p = p[p]
+    reached_head = is_head[p]
+    new_head = is_head | (node_valid & ~reached_head &
+                          (mn == jnp.arange(N)))
+
+    # re-run doubling with heads as fixed points: parallel list ranking
+    p2 = jnp.where(new_head, jnp.arange(N), prev[:N])
+    off = jnp.where(new_head, 0, 1).astype(jnp.int32)
+    for _ in range(T):
+        off = off + off[p2]
+        p2 = p2[p2]
+    rep = p2                                 # head node of each chain
+
+    # ---- unitig lengths & ranking ---------------------------------------
+    chain_nodes = jnp.zeros(N + 1, jnp.int32).at[
+        jnp.where(node_valid, rep, N)].max(off + 1, mode="drop")
+    ulen_all = jnp.where(new_head, sub_k + chain_nodes[:N] - 1, -1)
+    eligible = new_head & (ulen_all >= min_len)
+    sort_key = jnp.where(eligible, -ulen_all, 1)
+    order = jnp.argsort(sort_key, stable=True)          # longest first
+    top = order[:max_unitigs]
+    top_ok = eligible[top]
+    uidx_of = jnp.full(N + 1, -1, jnp.int32).at[
+        jnp.where(top_ok, top, N)].set(
+        jnp.where(top_ok, jnp.arange(max_unitigs, dtype=jnp.int32), -1),
+        mode="drop")
+
+    # ---- materialize sequences ------------------------------------------
+    U = max_unitigs
+    out = jnp.full((U, max_len), dna.N, jnp.int8)
+    lens = jnp.zeros(U, jnp.int32)
+    # head prefixes
+    head_uid = uidx_of[jnp.where(new_head, jnp.arange(N), N)]
+    for b in range(sub_k):
+        base = _kmer_base(node_keys, b)
+        tgt = jnp.where((head_uid >= 0) & (b < max_len), head_uid, U)
+        out = out.at[tgt, b].set(jnp.where(tgt < U, base, dna.N).astype(jnp.int8),
+                                 mode="drop")
+    # tail bases: node v at offset o>=1 contributes its last base
+    vuid = uidx_of[jnp.where(node_valid, rep, N)]
+    pos = sub_k - 1 + off
+    lastb = _kmer_base(node_keys, sub_k - 1)
+    w = (vuid >= 0) & (off >= 1) & (pos < max_len) & node_valid
+    out = out.at[jnp.where(w, vuid, U), jnp.where(w, pos, 0)].set(
+        jnp.where(w, lastb, dna.N).astype(jnp.int8), mode="drop")
+    lens = jnp.zeros(U + 1, jnp.int32).at[jnp.where(top_ok, jnp.arange(U), U)].set(
+        jnp.where(top_ok, jnp.minimum(ulen_all[top], max_len), 0),
+        mode="drop")[:U]
+
+    # ---- revcomp twin dedup ---------------------------------------------
+    rcseq = dna.revcomp_jnp(out, lens)
+    # lexicographic compare out vs rcseq over max_len (N-padded equal tails)
+    diff = out != rcseq
+    any_diff = jnp.any(diff, axis=1)
+    fd = jnp.argmax(diff, axis=1)
+    a = jnp.take_along_axis(out, fd[:, None], axis=1)[:, 0]
+    b = jnp.take_along_axis(rcseq, fd[:, None], axis=1)[:, 0]
+    keep = ~any_diff | (a <= b)       # palindrome or canonical strand
+    keep = keep & (lens > 0)
+    order2 = jnp.argsort(~keep, stable=True)
+    out = out[order2]
+    lens = jnp.where(keep[order2], lens[order2], 0)
+    count = jnp.sum(keep).astype(jnp.int32)
+    out = jnp.where((jnp.arange(U) < count)[:, None], out, dna.N)
+    return out, lens, count
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sub_k", "max_unitigs",
+                                             "max_len", "min_len"))
+def assemble_unitigs(kstrings, n_kstrings, *, k: int, sub_k: int,
+                     max_unitigs: int = 64, max_len: int = 1024,
+                     min_len: int = 40):
+    """Batched over gaps: kstrings [G, M, k], n_kstrings [G]."""
+    fn = functools.partial(assemble_unitigs_single, k=k, sub_k=sub_k,
+                           max_unitigs=max_unitigs, max_len=max_len,
+                           min_len=min_len)
+    return jax.vmap(fn)(kstrings, n_kstrings)
+
+
+def unpack_kmers_to_strings(limbs, k: int):
+    """[..., P, nl] packed k-mers -> [..., P, k] int8 codes (FULL -> N)."""
+    bases = [_kmer_base(limbs, i) for i in range(k)]
+    res = jnp.stack(bases, axis=-1)
+    invalid = jnp.all(limbs == FULL, axis=-1)
+    return jnp.where(invalid[..., None], dna.N, res)
