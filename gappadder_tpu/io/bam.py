@@ -1,0 +1,198 @@
+"""BAM reading/writing into columnar alignment arrays.
+
+Replaces the reference's `samtools view | python …` text pipelines
+(run_multi_threads_collect_reads.py:30-33) and the BamTools-backed C++
+reader (TERefiner/bam_parse.cpp): a BAM file decodes straight into the
+columnar arrays the classification kernels consume. CIGARs collapse to
+the three quantities the pipeline actually uses (left/right clip
+lengths and aligned M-sum); read names become FNV-1a hashes for
+device-side joins.
+
+Pure-Python implementation (correctness path + tests); the C++
+accelerated decoder in native/ shares the same Alignments layout.
+
+The BGZF framing: gzip members with a BC extra subfield giving the
+compressed block size; EOF = fixed 28-byte empty block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+
+import numpy as np
+
+from .fastq import _fnv1a_batch, normalize_name
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+# CIGAR op codes: MIDNSHP=X
+_CIGAR_OPS = b"MIDNSHP=X"
+
+
+@dataclasses.dataclass
+class Alignments:
+    """Columnar BAM records (one row per alignment line)."""
+    tid: np.ndarray        # int32 (-1 unmapped)
+    pos: np.ndarray        # int32 0-based
+    flag: np.ndarray       # int32
+    mapq: np.ndarray       # int32
+    mtid: np.ndarray       # int32
+    mpos: np.ndarray       # int32 0-based
+    tlen: np.ndarray       # int32
+    lclip: np.ndarray      # int32 leading S/H length
+    rclip: np.ndarray      # int32 trailing S/H length
+    nmatch: np.ndarray     # int32 sum of M/=/X lengths
+    read_len: np.ndarray   # int32 l_seq
+    name_hash: np.ndarray  # uint64
+    refs: list[str]        # tid -> reference name
+    names: list[bytes] | None = None  # optional (tests/debug)
+
+    @property
+    def n(self) -> int:
+        return len(self.flag)
+
+
+def _bgzf_decompress(data: bytes) -> bytes:
+    out = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if data[off:off + 2] != b"\x1f\x8b":
+            raise ValueError(f"bad BGZF magic at {off}")
+        xlen = struct.unpack_from("<H", data, off + 10)[0]
+        extra = data[off + 12: off + 12 + xlen]
+        bsize = None
+        eoff = 0
+        while eoff < len(extra):
+            si1, si2, slen = extra[eoff], extra[eoff + 1], \
+                struct.unpack_from("<H", extra, eoff + 2)[0]
+            if si1 == 0x42 and si2 == 0x43:
+                bsize = struct.unpack_from("<H", extra, eoff + 4)[0] + 1
+            eoff += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC subfield")
+        cdata = data[off + 12 + xlen: off + bsize - 8]
+        out.append(zlib.decompress(cdata, -15))
+        off += bsize
+    return b"".join(out)
+
+
+def _bgzf_compress(payload: bytes) -> bytes:
+    out = []
+    CHUNK = 0xFF00
+    for i in range(0, max(len(payload), 1), CHUNK):
+        chunk = payload[i: i + CHUNK]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 12 + 6 + 8
+        head = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
+                struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2, bsize - 1))
+        tail = struct.pack("<II", zlib.crc32(chunk), len(chunk))
+        out.append(head + cdata + tail)
+    out.append(_BGZF_EOF)
+    return b"".join(out)
+
+
+def read_bam(path: str, keep_names: bool = False) -> Alignments:
+    with open(path, "rb") as fh:
+        raw = _bgzf_decompress(fh.read())
+    if raw[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", raw, 4)[0]
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", raw, off)[0]
+        name = raw[off + 4: off + 4 + l_name - 1].decode()
+        refs.append(name)
+        off += 4 + l_name + 4
+
+    cols: dict[str, list[int]] = {k: [] for k in
+                                  ("tid", "pos", "flag", "mapq", "mtid",
+                                   "mpos", "tlen", "lclip", "rclip",
+                                   "nmatch", "read_len")}
+    names: list[bytes] = []
+    n = len(raw)
+    while off < n:
+        bsz = struct.unpack_from("<i", raw, off)[0]
+        rec = raw[off + 4: off + 4 + bsz]
+        off += 4 + bsz
+        (tid, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, mtid, mpos,
+         tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+        name = rec[32: 32 + l_rn - 1]
+        cig_off = 32 + l_rn
+        lclip = rclip = nmatch = 0
+        ops = []
+        for c in range(n_cig):
+            v = struct.unpack_from("<I", rec, cig_off + 4 * c)[0]
+            ops.append((v >> 4, v & 0xF))
+        for ln, op in ops:
+            if op in (0, 7, 8):
+                nmatch += ln
+        # single-op 'S' counts as clipped on BOTH sides, matching the
+        # reference's is_clipped (collect_reads_for_gaps.py:13-26)
+        if ops and ops[0][1] in (4, 5):
+            lclip = ops[0][0]
+        if ops and ops[-1][1] in (4, 5):
+            rclip = ops[-1][0]
+        cols["tid"].append(tid)
+        cols["pos"].append(pos)
+        cols["flag"].append(flag)
+        cols["mapq"].append(mapq)
+        cols["mtid"].append(mtid)
+        cols["mpos"].append(mpos)
+        cols["tlen"].append(tlen)
+        cols["lclip"].append(lclip)
+        cols["rclip"].append(rclip)
+        cols["nmatch"].append(nmatch)
+        cols["read_len"].append(l_seq)
+        names.append(normalize_name(name))
+
+    arr = {k: np.asarray(v, np.int32) for k, v in cols.items()}
+    return Alignments(**arr, name_hash=_fnv1a_batch(names), refs=refs,
+                      names=names if keep_names else None)
+
+
+def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
+    """Minimal BAM writer (tests / interchange).
+
+    records: iterable of dicts with keys name, flag, tid, pos, mapq,
+    cigar (list[(op_char, len)]), mtid, mpos, tlen, seq(optional str).
+    """
+    header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
+    body = [b"BAM\x01", struct.pack("<i", len(header_text)),
+            header_text.encode(), struct.pack("<i", len(refs))]
+    for name, ln in refs:
+        nb = name.encode() + b"\x00"
+        body += [struct.pack("<i", len(nb)), nb, struct.pack("<i", ln)]
+    for r in records:
+        name = r["name"].encode() + b"\x00"
+        cigar = r.get("cigar", [])
+        seq = r.get("seq", "")
+        l_seq = len(seq)
+        enc_seq = b""
+        if seq:
+            nib = "=ACMGRSVTWYHKDBN"
+            vals = [nib.index(c) if c in nib else 15 for c in seq.upper()]
+            if len(vals) % 2:
+                vals.append(0)
+            enc_seq = bytes((vals[i] << 4) | vals[i + 1]
+                            for i in range(0, len(vals), 2))
+        qual = b"\xff" * l_seq
+        rec = struct.pack(
+            "<iiBBHHHiiii", r["tid"], r["pos"], len(name), r.get("mapq", 60),
+            0, len(cigar), r["flag"], l_seq, r.get("mtid", -1),
+            r.get("mpos", -1), r.get("tlen", 0))
+        rec += name
+        for op, oln in cigar:
+            rec += struct.pack("<I", (oln << 4) | _CIGAR_OPS.index(
+                op.encode() if isinstance(op, str) else op))
+        rec += enc_seq + qual
+        body += [struct.pack("<i", len(rec)), rec]
+    with open(path, "wb") as fh:
+        fh.write(_bgzf_compress(b"".join(body)))

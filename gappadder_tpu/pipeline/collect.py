@@ -1,0 +1,283 @@
+"""Collect stage: recruit gap-related reads from each library.
+
+Equivalent of ``main.py -c Collect`` in the reference
+(/root/reference/main.py:226-270): per library, classify every
+alignment record against the gap focal windows (clip / discordant /
+mate-unmapped), run the low-mapq second pass over discordant mate
+regions, and union all recruitment records into per-gap read sets;
+then merge across libraries (the reference's merge_reads stage).
+
+The device does the hot work (batched classification + interval
+joins); the glue (dedup, hash joins against the FASTQ name tables,
+segment building) is host-side numpy here — it moves on-device in the
+scale-out phase.
+
+Workspace outputs:
+  recruits.npz  columns gap, side, lib, row (FASTQ row in that
+                library's left/right file), hq (mapq==60 subset flag)
+  per-gap FASTQ files under merged/gap_reads/<gap_id>.fastq when
+  write_parity_files=True (reference layout, @name_1/_2 renaming)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io import bam as bam_io
+from ..io import fasta, fastq
+from ..ops import classify, intervals
+from .workspace import Workspace, config_hash
+from .preprocess import gap_ids
+
+INT_MAX = np.int32(0x7FFFFFFF)
+
+
+def _pad_windows(cols: dict[str, np.ndarray], pad_to_multiple: int = 256):
+    n = len(cols["tid"])
+    m = max(pad_to_multiple, -(-n // pad_to_multiple) * pad_to_multiple)
+    out = {}
+    for k, v in cols.items():
+        pad_val = INT_MAX if k in ("tid", "start") else 0
+        a = np.full(m, pad_val, np.int32)
+        a[:n] = v
+        out[k] = a
+    return out
+
+
+def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
+    """BAM tid -> scaffold index in genome order (-1 if unknown)."""
+    lookup = {n: i for i, n in enumerate(names)}
+    return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
+
+
+def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
+                    scaffold_names: list[str], aln: bam_io.Alignments,
+                    left: fastq.ReadSet, right: fastq.ReadSet):
+    """Classify one library; returns recruitment arrays.
+
+    Returns dict with 1-D arrays: gap, side, row, hq (bool) — `row`
+    indexes into the side's ReadSet.
+    """
+    dist1 = lib.insert_size - 3 * lib.std
+    dist2 = lib.insert_size + 3 * lib.std
+    short_insert = lib.insert_size < cfg.long_insert_threshold
+
+    G = len(gaps["start"])
+    tmap = _tid_map(aln.refs, scaffold_names)
+    tid = tmap[np.clip(aln.tid, -1, len(aln.refs) - 1)]
+    mtid = tmap[np.clip(aln.mtid, -1, len(aln.refs) - 1)]
+
+    gap_scaffold = gaps["scaffold"].astype(np.int32)
+    gap_start = gaps["local_start"].astype(np.int32)
+    gap_end = gaps["local_end"].astype(np.int32)
+
+    win = classify.build_gap_windows(
+        jnp.asarray(gap_scaffold), jnp.asarray(gap_start),
+        jnp.asarray(gap_end), dist2, cfg.clip_dist)
+    wcols = {k: np.asarray(v) for k, v in win.items()}
+    fanout = min(2 * G if G else 1,
+                 max(4, intervals.max_overlap_np(
+                     wcols["tid"], wcols["start"], wcols["end"])))
+    res = intervals.sort_windows(jnp.asarray(wcols["tid"]),
+                                 jnp.asarray(wcols["start"]),
+                                 jnp.asarray(wcols["end"]),
+                                 jnp.asarray(wcols["gap"]),
+                                 jnp.asarray(wcols["edge"]))
+    wp = _pad_windows({"tid": np.asarray(res[0]), "start": np.asarray(res[1]),
+                       "end": np.asarray(res[2]), "gap": np.asarray(res[3]),
+                       "edge": np.asarray(res[4])})
+
+    # --- pass 1: classify all records in batches -------------------------
+    ent_gap, ent_side, ent_hash, ent_hq = [], [], [], []
+    mate_tid, mate_pos, mate_gap = [], [], []
+
+    B = cfg.tpu.read_batch
+    n = aln.n
+    for lo in range(0, n, B):
+        hi = min(lo + B, n)
+        sl = slice(lo, hi)
+        pad = B - (hi - lo)
+
+        def col(x, fill=0):
+            a = np.asarray(x[sl], np.int32)
+            if pad:
+                a = np.concatenate([a, np.full(pad, fill, np.int32)])
+            return jnp.asarray(a)
+
+        out = classify.classify_reads(
+            col(tid, -2), col(aln.pos, -1), col(aln.flag), col(aln.mapq),
+            col(mtid, -2), col(aln.mpos, -1), col(aln.tlen),
+            col(aln.lclip), col(aln.rclip),
+            jnp.asarray(wp["tid"]), jnp.asarray(wp["start"]),
+            jnp.asarray(wp["end"]), jnp.asarray(wp["gap"]),
+            jnp.asarray(wp["edge"]),
+            jnp.asarray(gap_start), jnp.asarray(gap_end),
+            dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
+            anchor_mapq=cfg.anchor_mapq, short_insert=short_insert,
+            fanout=fanout)
+
+        m = hi - lo
+        gap_k = np.asarray(out["gap"])[:m]
+        for kind, sidekey in (("clip", "side_self"), ("disc", "side_mate"),
+                              ("unmap", "side_mate")):
+            mask = np.asarray(out[kind])[:m]
+            if not mask.any():
+                continue
+            rr, kk = np.nonzero(mask)
+            ent_gap.append(gap_k[rr, kk])
+            ent_side.append(np.asarray(out[sidekey])[:m][rr, kk])
+            ent_hash.append(aln.name_hash[sl][rr])
+            ent_hq.append(np.asarray(aln.mapq[sl], np.int32)[rr]
+                          == cfg.high_quality_mapq)
+            if kind == "disc":
+                mate_tid.append(np.asarray(mtid[sl], np.int32)[rr])
+                mate_pos.append(np.asarray(aln.mpos[sl], np.int32)[rr])
+                mate_gap.append(gap_k[rr, kk])
+
+    # --- pass 2: low-mapq reads near discordant mate positions -----------
+    if mate_tid and len(np.concatenate(mate_tid)):
+        mt = np.concatenate(mate_tid)
+        mp = np.concatenate(mate_pos)
+        mg = np.concatenate(mate_gap)
+        ok = mt >= 0
+        mt, mp, mg = mt[ok], mp[ok], mg[ok]
+        uniq = np.unique(np.stack([mt, mp, mg]), axis=1)
+        mt, mp, mg = uniq
+        mw = {"tid": mt, "start": mp - 199, "end": mp + 299,
+              "gap": mg, "mp": mp}
+        # only the LARGEST covering mate-pos wins (reference dict
+        # overwrite), and it is always the last window starting <= pos;
+        # fanout need only span one (tid, mp) group of linked gaps.
+        _, cnts = np.unique(np.stack([mt, mp]), axis=1, return_counts=True)
+        fan2 = min(int(cnts.max()) + 1, max(1, len(mt)))
+        res2 = intervals.sort_windows(
+            jnp.asarray(mw["tid"]), jnp.asarray(mw["start"]),
+            jnp.asarray(mw["end"]), jnp.asarray(mw["gap"]),
+            jnp.asarray(mw["mp"]))
+        mwp = _pad_windows({"tid": np.asarray(res2[0]),
+                            "start": np.asarray(res2[1]),
+                            "end": np.asarray(res2[2]),
+                            "gap": np.asarray(res2[3]),
+                            "mp": np.asarray(res2[4])})
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            sl = slice(lo, hi)
+            pad = B - (hi - lo)
+
+            def col(x, fill=0):
+                a = np.asarray(x[sl], np.int32)
+                if pad:
+                    a = np.concatenate([a, np.full(pad, fill, np.int32)])
+                return jnp.asarray(a)
+
+            gap_k, side = classify.classify_lowmapq(
+                col(tid, -2), col(aln.pos, -1), col(aln.flag),
+                col(aln.mapq, 255),
+                jnp.asarray(mwp["tid"]), jnp.asarray(mwp["start"]),
+                jnp.asarray(mwp["end"]), jnp.asarray(mwp["gap"]),
+                jnp.asarray(mwp["mp"]), fanout=fan2)
+            m = hi - lo
+            gk = np.asarray(gap_k)[:m]
+            sd = np.asarray(side)[:m]
+            rr, kk = np.nonzero(gk >= 0)
+            if len(rr):
+                ent_gap.append(gk[rr, kk])
+                ent_side.append(sd[rr])
+                ent_hash.append(aln.name_hash[sl][rr])
+                ent_hq.append(np.zeros(len(rr), bool))  # mapq==0, never HQ
+
+    if not ent_gap:
+        z = np.zeros(0, np.int32)
+        return {"gap": z, "side": z, "row": z, "hq": np.zeros(0, bool)}
+
+    gap_a = np.concatenate(ent_gap).astype(np.int64)
+    side_a = np.concatenate(ent_side).astype(np.int64)
+    hash_a = np.concatenate(ent_hash)
+    hq_a = np.concatenate(ent_hq)
+
+    # --- union/dedup + hash-join against FASTQ name tables ---------------
+    out_gap, out_side, out_row, out_hq = [], [], [], []
+    for side_val, rs in ((0, left), (1, right)):
+        sel = side_a == side_val
+        if not sel.any() or rs is None or rs.n == 0:
+            continue
+        order = np.argsort(rs.name_hash, kind="stable")
+        sh = rs.name_hash[order]
+        idx = np.searchsorted(sh, hash_a[sel])
+        idx = np.clip(idx, 0, len(sh) - 1)
+        found = sh[idx] == hash_a[sel]
+        rows = order[idx][found]
+        gsel = gap_a[sel][found]
+        hqsel = hq_a[sel][found]
+        # dedup (gap, row); hq flag is OR over duplicates
+        key = gsel * (rs.n + 1) + rows
+        uk, inv = np.unique(key, return_inverse=True)
+        hq_u = np.zeros(len(uk), bool)
+        np.logical_or.at(hq_u, inv, hqsel)
+        out_gap.append(uk // (rs.n + 1))
+        out_row.append(uk % (rs.n + 1))
+        out_side.append(np.full(len(uk), side_val, np.int64))
+        out_hq.append(hq_u)
+
+    if not out_gap:
+        z = np.zeros(0, np.int32)
+        return {"gap": z, "side": z, "row": z, "hq": np.zeros(0, bool)}
+    return {"gap": np.concatenate(out_gap).astype(np.int32),
+            "side": np.concatenate(out_side).astype(np.int32),
+            "row": np.concatenate(out_row).astype(np.int32),
+            "hq": np.concatenate(out_hq)}
+
+
+def run_collect(cfg: Config, ws: Workspace,
+                genome: fasta.Genome | None = None,
+                write_parity_files: bool = False):
+    """Run collect for all libraries and merge."""
+    gaps = ws.load_arrays("gaps")
+    scaffold_names = ws.load_json("scaffold_names")
+
+    all_cols = {"gap": [], "side": [], "row": [], "hq": [], "lib": []}
+    readsets = []
+    for li, lib in enumerate(cfg.libraries):
+        aln = bam_io.read_bam(lib.bam)
+        left = fastq.read_fastq(lib.left_fq) if lib.left_fq else None
+        right = fastq.read_fastq(lib.right_fq) if lib.right_fq else None
+        readsets.append((left, right))
+        rec = collect_library(cfg, lib, gaps, scaffold_names, aln,
+                              left, right)
+        for k in ("gap", "side", "row", "hq"):
+            all_cols[k].append(rec[k])
+        all_cols["lib"].append(np.full(len(rec["gap"]), li, np.int32))
+
+    rec = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
+           for k, v in all_cols.items()}
+    order = np.lexsort((rec["row"], rec["side"], rec["lib"], rec["gap"]))
+    rec = {k: v[order] for k, v in rec.items()}
+    ws.save_arrays("recruits", **rec)
+    ws.mark_done("collect", config_hash(cfg), num_recruits=int(len(rec["gap"])))
+
+    if write_parity_files:
+        _write_gap_fastqs(cfg, ws, gaps, rec, readsets)
+    return rec, readsets
+
+
+def _write_gap_fastqs(cfg, ws, gaps, rec, readsets, subdir="merged/gap_reads",
+                      hq_only=False):
+    """Reference layout: merged/gap_reads/<gap_id>.fastq with _1/_2
+    renamed records (run_multi_threads_discordant.py:221,296)."""
+    folder = ws.path(subdir)
+    os.makedirs(folder, exist_ok=True)
+    ids = gap_ids(gaps)
+    sel = rec["hq"] if hq_only else np.ones(len(rec["gap"]), bool)
+    gsel = rec["gap"][sel]
+    for g in np.unique(gsel):
+        with open(os.path.join(folder, f"{ids[g]}.fastq"), "w") as fh:
+            m = sel & (rec["gap"] == g)
+            for li, side, row in zip(rec["lib"][m], rec["side"][m],
+                                     rec["row"][m]):
+                rs = readsets[li][side]
+                fastq.write_fastq(fh, rs, [row],
+                                  suffix="_1" if side == 0 else "_2")
