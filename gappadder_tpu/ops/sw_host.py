@@ -1,9 +1,10 @@
 """Reference (host/numpy) affine-gap DP oracle with traceback.
 
-Small/slow but exact: used as the unit-test oracle for the XLA and
+Exact full-matrix DP: used as the unit-test oracle for the XLA and
 Pallas wavefront kernels, and as the host-side traceback for the few
 winning pairs (device kernels are score+endpoint-only; SURVEY.md §7
-"Hard parts" #3).
+"Hard parts" #3). The matrix fill is vectorized over anti-diagonals so
+a 300x2048 flank-vs-contig traceback costs milliseconds, not seconds.
 
 Subsumes the reference's vendored stdaln local aligner
 (/root/reference/TERefiner/algorithms/local_alignment.cpp:746-831) and
@@ -37,28 +38,47 @@ class SWParams:
     # gap_open == gap_extend reproduces linear gap cost.
 
 
+BWA_PARAMS = SWParams(match=1, mismatch=-4, gap_open=7, gap_extend=1)
+"""bwa mem default scoring (A=1 B=4 O=6 E=1; first gap base costs O+E)."""
+
+
+def dp_matrices(q, t, p: SWParams, mode: str):
+    """Fill full H, E, F matrices (int64), vectorized per anti-diagonal."""
+    q = np.asarray(q, np.int64)
+    t = np.asarray(t, np.int64)
+    n, m = len(q), len(t)
+    H = np.zeros((n + 1, m + 1), np.int64)
+    E = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    if mode == "extend":
+        H[0, 1:] = NEG
+        H[1:, 0] = NEG
+    go, ge = p.gap_open, p.gap_extend
+    for d in range(2, n + m + 1):
+        ilo = max(1, d - m)
+        ihi = min(n, d - 1)
+        if ilo > ihi:
+            continue
+        i = np.arange(ilo, ihi + 1)
+        j = d - i
+        E[i, j] = np.maximum(H[i, j - 1] - go, E[i, j - 1] - ge)
+        F[i, j] = np.maximum(H[i - 1, j] - go, F[i - 1, j] - ge)
+        s = np.where((q[i - 1] == t[j - 1]) & (q[i - 1] < 4),
+                     p.match, p.mismatch)
+        h = np.maximum(H[i - 1, j - 1] + s, np.maximum(E[i, j], F[i, j]))
+        if mode == "local":
+            h = np.maximum(h, 0)
+        H[i, j] = h
+    return H, E, F
+
+
 def sw_np(q: np.ndarray, t: np.ndarray, p: SWParams = SWParams(),
           mode: str = "local"):
     """Full DP. Returns (score, qend, tend, H) with 1-based ends
     (qend/tend = number of consumed bases of q/t at the best cell)."""
     n, m = len(q), len(t)
-    H = np.zeros((n + 1, m + 1), np.int64)
-    E = np.full((n + 1, m + 1), NEG, np.int64)  # gap in target dir (left)
-    F = np.full((n + 1, m + 1), NEG, np.int64)  # gap in query dir (up)
-    if mode == "extend":
-        H[0, 1:] = NEG
-        H[1:, 0] = NEG
-    for i in range(1, n + 1):
-        for j in range(1, m + 1):
-            E[i, j] = max(H[i, j - 1] - p.gap_open, E[i, j - 1] - p.gap_extend)
-            F[i, j] = max(H[i - 1, j] - p.gap_open, F[i - 1, j] - p.gap_extend)
-            s = p.match if q[i - 1] == t[j - 1] else p.mismatch
-            h = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
-            if mode == "local":
-                h = max(h, 0)
-            H[i, j] = h
+    H, _, _ = dp_matrices(q, t, p, mode)
     if mode == "overlap":
-        # best over last row / last column
         cand = [(H[n, j], n, j) for j in range(m + 1)]
         cand += [(H[i, m], i, m) for i in range(n + 1)]
         score, qend, tend = max(cand, key=lambda x: (x[0], x[1], x[2]))
@@ -70,20 +90,13 @@ def sw_np(q: np.ndarray, t: np.ndarray, p: SWParams = SWParams(),
 
 
 def traceback(q, t, p: SWParams, mode: str, qend: int, tend: int):
-    """Recompute DP and trace the optimal path ending at (qend, tend).
+    """Trace the optimal path ending at (qend, tend).
 
     Returns (qstart, tstart, cigar) with cigar a list of (op, length),
     op in 'M','I','D' ('I' consumes query, 'D' consumes target —
     BAM convention with q as the read).
     """
-    score, _, _, H = sw_np(q, t, p, mode)
-    E = np.full_like(H, NEG)
-    F = np.full_like(H, NEG)
-    n, m = len(q), len(t)
-    for i in range(1, n + 1):
-        for j in range(1, m + 1):
-            E[i, j] = max(H[i, j - 1] - p.gap_open, E[i, j - 1] - p.gap_extend)
-            F[i, j] = max(H[i - 1, j] - p.gap_open, F[i - 1, j] - p.gap_extend)
+    H, E, F = dp_matrices(q, t, p, mode)
     ops: list[str] = []
     i, j = qend, tend
     state = "H"
@@ -94,7 +107,8 @@ def traceback(q, t, p: SWParams, mode: str, qend: int, tend: int):
             if mode == "overlap" and (i == 0 or j == 0):
                 break
             if i > 0 and j > 0:
-                s = p.match if q[i - 1] == t[j - 1] else p.mismatch
+                s = p.match if (q[i - 1] == t[j - 1] and q[i - 1] < 4) \
+                    else p.mismatch
                 if H[i, j] == H[i - 1, j - 1] + s:
                     ops.append("M"); i -= 1; j -= 1
                     continue
@@ -119,3 +133,12 @@ def traceback(q, t, p: SWParams, mode: str, qend: int, tend: int):
         else:
             cigar.append((op, 1))
     return i, j, cigar
+
+
+def alignment_stats(q, t, p: SWParams, mode: str, qend: int, tend: int):
+    """(qstart, tstart, n_aligned_cols) for the path ending at the
+    given cell; n_aligned_cols = total M (match+mismatch) columns, the
+    reference's 'map_length' (pick_contigs.py:44-50)."""
+    qs, ts, cigar = traceback(q, t, p, mode, qend, tend)
+    m_sum = sum(ln for op, ln in cigar if op == "M")
+    return qs, ts, m_sum

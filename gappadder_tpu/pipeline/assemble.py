@@ -1,0 +1,134 @@
+"""Assembly stage: per-gap multi-k de-Bruijn assembly (round 1 core).
+
+Replaces the reference's per-gap KMC -> kmc_dump -> cvtFaToFq ->
+velveth/velvetg subprocess chain (assemble_gaps.py:82-135): for each
+(k, sub_k) setting, count each gap's distinct canonical k-mers on
+device and assemble THE K-MERS THEMSELVES (the reference's trick that
+bounds assembly input size) with the batched DBG unitig assembler.
+
+Contigs from all settings are concatenated per gap with the
+reference's "<k>_<sub_k>_" name prefixes (assemble_gaps.py:124-135).
+Gap batches are padded/bucketed so shapes stay static across jit
+calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dna
+from ..config import Config
+from ..ops import dbg, kmers
+
+FULL = 0xFFFFFFFF
+
+
+@dataclasses.dataclass
+class GapContigs:
+    """Per-gap contig sets (padded arrays + names)."""
+    seq: np.ndarray      # int8 [G, C, Lmax]
+    length: np.ndarray   # int32 [G, C]
+    count: np.ndarray    # int32 [G]
+    names: list[list[str]]  # [G][C] contig names ("<k>_<sub_k>_<i>")
+
+
+def gap_distinct_kmers(reads, read_len, n_reads, k: int,
+                       max_distinct: int, read_chunk: int = 512):
+    """Distinct canonical k-mers of each gap's read set.
+
+    Args:
+      reads: int8 [G, R, L] padded read codes.
+      read_len: int32 [G, R].
+      n_reads: int32 [G] valid rows.
+      max_distinct: static bound M on distinct k-mers per gap (overflow
+        drops the lexicographically largest k-mers).
+
+    Returns:
+      kstrings: int8 [G, M, k]; n_kstrings: int32 [G].
+    """
+    G, R, L = reads.shape
+    if L < k:
+        pad = np.full((G, R, k - L), dna.N, np.int8)
+        reads = np.concatenate([np.asarray(reads), pad], axis=2)
+        L = k
+    acc = jnp.full((G, max_distinct, kmers.num_limbs(k)), FULL, jnp.uint32)
+    row_idx = jnp.arange(R)
+    reads_j = jnp.asarray(reads)
+    rlen_j = jnp.asarray(read_len, jnp.int32)
+    nr_j = jnp.asarray(n_reads, jnp.int32)
+    for lo in range(0, R, read_chunk):
+        hi = min(lo + read_chunk, R)
+        chunk = reads_j[:, lo:hi]
+        clen = jnp.where((row_idx[lo:hi][None, :] < nr_j[:, None]),
+                         rlen_j[:, lo:hi], 0)
+        acc = _merge_chunk(chunk, clen, acc, k)
+    distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+    n = jnp.sum(distinct, axis=-1).astype(jnp.int32)
+    kstr = dbg.unpack_kmers_to_strings(acc, k)
+    return np.asarray(kstr), np.asarray(n)
+
+
+@jax.jit
+def _merge_chunk_impl(acc, limbs_valid):
+    G, M, nl = acc.shape
+    both = jnp.concatenate([acc, limbs_valid], axis=1)
+    s, _ = kmers.sort_kmers(both)
+    first = kmers.unique_mask(s)
+    keep = first & ~jnp.all(s == jnp.uint32(FULL), axis=-1)
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    merged = jnp.take_along_axis(s, order[..., None], axis=-2)
+    n = jnp.sum(keep, axis=-1)
+    merged = jnp.where((jnp.arange(merged.shape[1]) < n[:, None])[..., None],
+                       merged, jnp.uint32(FULL))
+    return merged[:, :M]
+
+
+def _merge_chunk(chunk, clen, acc, k):
+    limbs, valid = kmers.extract_kmers(chunk, clen, k)   # [G, Rc, P, nl]
+    limbs = kmers.canonicalize(limbs, k)
+    limbs = jnp.where(valid[..., None], limbs, jnp.uint32(FULL))
+    G = limbs.shape[0]
+    flat = limbs.reshape(G, -1, limbs.shape[-1])
+    return _merge_chunk_impl(acc, flat)
+
+
+def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
+                       max_distinct: int = 1 << 14,
+                       max_unitigs_per_setting: int = 32,
+                       max_contig_len: int = 2048) -> GapContigs:
+    """Run all (k, sub_k) settings over one padded gap batch."""
+    G = reads.shape[0]
+    seqs, lens, counts, names = [], [], [], [[] for _ in range(G)]
+    for (k, sub_k) in cfg.kmers:
+        kstr, nk = gap_distinct_kmers(reads, read_len, n_reads, k,
+                                      max_distinct)
+        useq, ulen, ucnt = dbg.assemble_unitigs(
+            jnp.asarray(kstr), jnp.asarray(nk), k=k, sub_k=sub_k,
+            max_unitigs=max_unitigs_per_setting, max_len=max_contig_len,
+            min_len=cfg.min_contig_len)
+        useq, ulen, ucnt = map(np.asarray, (useq, ulen, ucnt))
+        seqs.append(useq)
+        lens.append(ulen)
+        counts.append(ucnt)
+        for g in range(G):
+            names[g] += [f"{k}_{sub_k}_{i}" for i in range(int(ucnt[g]))]
+
+    # compact per gap: concatenate settings, packing valid contigs first
+    C = sum(s.shape[1] for s in seqs)
+    out_seq = np.full((G, C, max_contig_len), dna.N, np.int8)
+    out_len = np.zeros((G, C), np.int32)
+    out_cnt = np.zeros(G, np.int32)
+    for g in range(G):
+        c = 0
+        for si in range(len(seqs)):
+            n = int(counts[si][g])
+            out_seq[g, c:c + n] = seqs[si][g, :n]
+            out_len[g, c:c + n] = lens[si][g, :n]
+            c += n
+        out_cnt[g] = c
+    return GapContigs(seq=out_seq, length=out_len, count=out_cnt,
+                      names=names)

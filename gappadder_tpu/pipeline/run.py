@@ -1,0 +1,180 @@
+"""Assembly+Pick driver: ties recruits -> contigs -> picked fills.
+
+Equivalent of ``GapAssembler.assemble_pipeline``
+(/root/reference/assemble_gaps.py:328-368) round 1 + the final pick:
+for every gap with recruited reads, run multi-k DBG assembly, then the
+full-closure pick at the round-1 bwa threshold; gaps still open get a
+second full pick plus the extension fallback at the relaxed final
+threshold. (The reference's round-2 read rescue lives in
+pipeline/rescue.py and slots between these.)
+
+Gap batches are bucketed by read count so padded shapes stay small and
+jit caches stay warm across buckets of the same size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import dna
+from ..config import Config
+from ..io import fasta, fastq
+from . import assemble, pick
+from .preprocess import gap_ids
+from .workspace import Workspace, config_hash
+
+
+def build_gap_read_arrays(rec, readsets, n_gaps: int):
+    """Group recruited reads per gap into ragged lists of row refs."""
+    per_gap: list[list[tuple[int, int, int]]] = [[] for _ in range(n_gaps)]
+    for g, side, li, row in zip(rec["gap"], rec["side"], rec["lib"],
+                                rec["row"]):
+        per_gap[int(g)].append((int(li), int(side), int(row)))
+    return per_gap
+
+
+def _pad_batch(gap_indices, per_gap, readsets, R, L):
+    G = len(gap_indices)
+    seq = np.full((G, R, L), dna.N, np.int8)
+    rlen = np.zeros((G, R), np.int32)
+    nreads = np.zeros(G, np.int32)
+    for i, g in enumerate(gap_indices):
+        rows = per_gap[g][:R]
+        nreads[i] = len(rows)
+        for j, (li, side, row) in enumerate(rows):
+            rs = readsets[li][side]
+            ln = min(int(rs.length[row]), L)
+            seq[i, j, :ln] = rs.seq[row, :ln]
+            rlen[i, j] = ln
+    return seq, rlen, nreads
+
+
+def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
+                          readsets=None, genome: fasta.Genome | None = None):
+    """Returns (fills, extensions, contig_table).
+
+    fills: {gap_idx: np.int8 fill codes}; extensions: {gap_idx: codes};
+    also writes picked_seqs.fa in the reference's format.
+    """
+    gaps = ws.load_arrays("gaps")
+    n_gaps = len(gaps["start"])
+    if rec is None:
+        z = ws.load_arrays("recruits")
+        rec = {k: z[k] for k in z}
+    if readsets is None:
+        readsets = []
+        for lib in cfg.libraries:
+            readsets.append((
+                fastq.read_fastq(lib.left_fq) if lib.left_fq else None,
+                fastq.read_fastq(lib.right_fq) if lib.right_fq else None))
+
+    per_gap = build_gap_read_arrays(rec, readsets, n_gaps)
+    active = [g for g in range(n_gaps) if per_gap[g]]
+    if not active:
+        return {}, {}, None
+
+    max_read_len = max(
+        (int(rs.length.max()) if rs is not None and rs.n else 0)
+        for pair in readsets for rs in pair)
+    L = max(max_read_len, max(k for k, _ in cfg.kmers) + 1)
+
+    fills: dict[int, np.ndarray] = {}
+    exts: dict[int, tuple] = {}
+    contig_store: dict[int, tuple] = {}
+
+    # bucket gaps by read count
+    buckets: dict[int, list[int]] = {}
+    for g in active:
+        R = 1 << max(4, (len(per_gap[g]) - 1).bit_length())
+        buckets.setdefault(R, []).append(g)
+
+    for R, gap_list in sorted(buckets.items()):
+        for lo in range(0, len(gap_list), 16):
+            batch = gap_list[lo:lo + 16]
+            seq, rlen, nreads = _pad_batch(batch, per_gap, readsets, R, L)
+            md = min(1 << 14, max(1 << 10, 4 * R * L // 2))
+            contigs = assemble.assemble_gap_batch(
+                cfg, seq, rlen, nreads, max_distinct=md)
+            for i, g in enumerate(batch):
+                contig_store[g] = (contigs.seq[i], contigs.length[i],
+                                   int(contigs.count[i]), contigs.names[i])
+            _pick_batch(cfg, gaps, batch, contigs, fills, exts,
+                        cfg.pick_min_score_round1, allow_extension=False)
+
+    # final relaxed pick for still-open gaps
+    remaining = [g for g in active if g not in fills and g in contig_store]
+    for lo in range(0, len(remaining), 16):
+        batch = remaining[lo:lo + 16]
+        if not batch:
+            continue
+        gc = _restack(contig_store, batch)
+        _pick_batch(cfg, gaps, batch, gc, fills, exts,
+                    cfg.pick_min_score_final, allow_extension=True)
+
+    _write_picked(cfg, ws, gaps, fills, exts, contig_store)
+    ws.mark_done("assembly", config_hash(cfg), filled=len(fills),
+                 extended=len(exts))
+    return fills, exts, contig_store
+
+
+def _restack(contig_store, batch):
+    C = max(contig_store[g][2] for g in batch)
+    C = max(C, 1)
+    Lmax = contig_store[batch[0]][0].shape[1]
+    seq = np.full((len(batch), C, Lmax), dna.N, np.int8)
+    lens = np.zeros((len(batch), C), np.int32)
+    cnt = np.zeros(len(batch), np.int32)
+    names = []
+    for i, g in enumerate(batch):
+        s, l, n, nm = contig_store[g]
+        seq[i, :n] = s[:n]
+        lens[i, :n] = l[:n]
+        cnt[i] = n
+        names.append(nm)
+    return assemble.GapContigs(seq=seq, length=lens, count=cnt, names=names)
+
+
+def _pick_batch(cfg, gaps, batch, contigs, fills, exts, min_score,
+                allow_extension):
+    idx = [i for i, g in enumerate(batch) if g not in fills]
+    if not idx:
+        return
+    fl = gaps["flank_left"][batch]
+    fr = gaps["flank_right"][batch]
+    hits = pick.align_flanks_to_contigs(
+        fl, fr, contigs.seq, contigs.length, contigs.count,
+        min_score=min_score, use_pallas=cfg.tpu.use_pallas)
+    for i, g in enumerate(batch):
+        if g in fills:
+            continue
+        res = pick.pick_full(hits[i], contigs.seq[i], contigs.length[i])
+        if res is not None:
+            c, gap_seq, rc, contig_out = res
+            fills[g] = (gap_seq, contigs.names[i][c])
+        elif allow_extension:
+            res = pick.pick_extension(hits[i], contigs.seq[i],
+                                      contigs.length[i])
+            if res is not None:
+                lc, rc_, seq, contig_out = res
+                nm = contigs.names[i]
+                lname = nm[lc] if lc >= 0 else ""
+                rname = nm[rc_] if rc_ >= 0 else ""
+                exts[g] = (seq, f"{lname}_{rname}")
+
+
+def _write_picked(cfg, ws, gaps, fills, exts, contig_store):
+    """picked_seqs.fa in the reference's naming
+    (<gap_id>_<contig> / <gap_id>_<l>_<r>_extended)."""
+    ids = gap_ids(gaps)
+    recs = []
+    for g, (seq, cname) in sorted(fills.items()):
+        recs.append((f"{ids[g]}_{cname}", seq))
+    for g, (seq, names) in sorted(exts.items()):
+        recs.append((f"{ids[g]}_{names}_extended", seq))
+    fasta.write_fasta(ws.path("picked_seqs.fa"), recs)
+
+
+def fills_as_codes(fills: dict[int, tuple]) -> dict[int, np.ndarray]:
+    return {g: seq for g, (seq, _name) in fills.items()}

@@ -1,0 +1,60 @@
+"""Minimum end-to-end slice (SURVEY.md §7): draft + reads -> filled
+scaffold matching the planted truth."""
+
+import numpy as np
+import pytest
+
+from gappadder_tpu import dna
+from gappadder_tpu.config import Config, Library
+from gappadder_tpu.io import fasta
+from gappadder_tpu.pipeline import collect, patch, preprocess, run
+from gappadder_tpu.pipeline.workspace import Workspace
+
+import read_simulator
+
+
+def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500):
+    truth = "".join(np.array(list("ACGT"))[rng.integers(0, 4, L)])
+    gs = L // 2 - gap_len // 2
+    ge = gs + gap_len
+    draft = truth[:gs] + "N" * gap_len + truth[ge:]
+    draft_path = str(tmp_path / "draft.fa")
+    fasta.write_fasta(draft_path, [("scaf0", draft)])
+
+    bam, lfq, rfq = read_simulator.write_library(
+        tmp_path, "lib", truth, [(gs, ge)], n_pairs, rng,
+        read_len=100, insert=300, std=30)
+
+    cfg = Config(
+        draft_genome=draft_path, min_gap_size=50, flank_length=150,
+        working_folder=str(tmp_path / "work"),
+        kmers=((25, 21), (31, 27)),
+        libraries=(Library(bam=bam, insert_size=300, std=30,
+                           left_fq=lfq, right_fq=rfq),),
+        tpu=__import__("gappadder_tpu.config", fromlist=["TpuParams"])
+        .TpuParams(read_batch=1 << 12, use_pallas=False))
+    return cfg, truth, (gs, ge)
+
+
+def test_close_single_gap(tmp_path, rng):
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+
+    gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
+    assert len(gaps["start"]) == 1
+
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    assert len(rec["gap"]) > 50  # plenty of recruited reads
+
+    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
+                                               readsets=readsets,
+                                               genome=genome)
+    assert 0 in fills, f"gap not closed (exts={list(exts)})"
+    fill_seq = dna.decode(fills[0][0])
+    want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
+    assert fill_seq == want, (len(fill_seq), len(want))
+
+    recs = patch.patch_scaffolds(genome, gaps, run.fills_as_codes(fills),
+                                 margin=cfg.flank_margin)
+    assert dna.decode(recs[0][1]) == truth
