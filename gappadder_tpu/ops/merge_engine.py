@@ -1,0 +1,331 @@
+"""Contig dedup + overlap-graph merge — the TERefiner(-U/-P/-K) and
+ContigsMerger replacement (L2).
+
+Per gap (batched across a gap list; all DP scoring on device):
+
+DEDUP (Refiner.removeDupRepeatsOfOneContigSet / removeContainedContigs,
+/root/reference/TERefiner/refiner.cpp:587-801):
+  exact duplicates dropped by content hash; near-duplicate/contained
+  contigs found by sketch-pruned local SW — a contig whose best local
+  alignment onto another covers >= `cutoff` of its length is dropped
+  when the other is longer (containment) or has a smaller index
+  (duplicate tie-break, the reference's qname>rname order).
+
+MERGE (ContigsCompactor::CompactVer3,
+/root/reference/ContigsCompactor-v0.2.0/ContigsMerger/ContigsCompactor.cpp:773-983):
+  1. revcomp twin per contig;
+  2. quick-check: pairs sharing >= min_support 10-mers between A's tail
+     window and B's head window (QuickCheckerContigsMatch, :1982-2096)
+     — here a hashed-bitset intersection;
+  3. overlap DP (Evaluate, :1572-1874): match +1, mismatch/indel -2
+     (the pipeline's -i1 -2 -i2 -2), free end gaps, ends scanned with
+     up to maxOverlapClipLen=50 slack -> the SW kernel's overlap mode
+     with end_slack;
+  4. IsScoreSignificant (:1876-1976): overlap >= min frac / len,
+     >= 5 bp extension (containment rejected), score >=
+     overlap*(1-fracScoreLoss);
+  5. DAG of A->B edges; simple paths enumerated per weakly-connected
+     component in topological order (cycle edges dropped — the
+     reference condenses SCCs, FindSimplePathsTopSort), longest paths
+     kept;
+  6. path splicing: merged = A[:qstart] + B at each edge (the
+     reference's traceback keeps seq2's characters in the overlap);
+  7. revcomp-duplicate merged paths removed (RemoveDupRevCompPaths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import dna
+from . import sw_host, sw_xla
+from .sw_host import SWParams
+
+MERGE_PARAMS = SWParams(match=1, mismatch=-2, gap_open=2, gap_extend=2)
+SKETCH_WORDS = 64                   # 2048-bit 10-mer sketch
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeConfig:
+    frac_score_loss: float = 0.4    # -s
+    min_frac_overlap: float = 0.005  # -c default
+    min_overlap_len: int = 12       # -x
+    max_clip_len: int = 50          # -y
+    min_overlap_len_scaffold: int = 6  # -z default
+    kmer_len: int = 10              # -k
+    min_support_kmer: int = 1       # -m
+    window: int = 1000              # quick-check end-window size
+    max_paths_per_gap: int = 32
+    max_path_nodes: int = 8
+    dedup_cutoff: float = 0.99      # MergeContigs.py:73-99
+
+
+def _kmer_hashes(seq: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-mer hash values (host, vectorized)."""
+    s = np.asarray(seq, np.uint64)
+    n = len(s) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    h = np.zeros(n, np.uint64)
+    for j in range(k):
+        h = h * np.uint64(1099511628211) + s[j:j + n] + np.uint64(1)
+    return h
+
+
+def _sketch(seq: np.ndarray, k: int) -> np.ndarray:
+    """Bitset sketch of a sequence's k-mer hash set."""
+    h = _kmer_hashes(seq, k) % np.uint64(SKETCH_WORDS * 32)
+    out = np.zeros(SKETCH_WORDS, np.uint32)
+    np.bitwise_or.at(out, (h // 32).astype(np.int64),
+                     (np.uint32(1) << (h % 32).astype(np.uint32)))
+    return out
+
+
+def _shared_kmers(sk_a: np.ndarray, sk_b: np.ndarray) -> int:
+    return int(np.sum([bin(int(x)).count("1")
+                       for x in (sk_a & sk_b)]))
+
+
+def _sw_batch_np(queries, targets, mode, params, end_slack=0):
+    """Run a ragged list of (q, t) pairs through the device kernel."""
+    if not queries:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    B = len(queries)
+    Lq = max(len(q) for q in queries)
+    Lt = max(len(t) for t in targets)
+    qa = np.full((B, Lq), dna.N, np.int8)
+    ta = np.full((B, Lt), dna.N, np.int8)
+    ql = np.zeros(B, np.int32)
+    tl = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(zip(queries, targets)):
+        qa[i, :len(q)] = q
+        ta[i, :len(t)] = t
+        ql[i] = len(q)
+        tl[i] = len(t)
+    s, qe, te = sw_xla.sw_batch(jnp.asarray(qa), jnp.asarray(ql),
+                                jnp.asarray(ta), jnp.asarray(tl),
+                                params, mode, end_slack=end_slack)
+    return np.asarray(s), np.asarray(qe), np.asarray(te)
+
+
+def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
+    """Indices of contigs to KEEP after duplicate/containment removal."""
+    n = len(contigs)
+    if n <= 1:
+        return list(range(n))
+    # exact dups
+    seen: dict[bytes, int] = {}
+    keep = [True] * n
+    for i, c in enumerate(contigs):
+        key = c.tobytes()
+        rkey = dna.revcomp(c).tobytes()
+        if key in seen or rkey in seen:
+            keep[i] = False
+        else:
+            seen[key] = i
+    # sketch-pruned near-dup / containment
+    sketches = [_sketch(c, cfg.kmer_len) for c in contigs]
+    pairs = []
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(n):
+            if i == j or not keep[j]:
+                continue
+            # candidate: i potentially contained in / dup of j
+            if len(contigs[i]) > len(contigs[j]):
+                continue
+            inter = _shared_kmers(sketches[i], sketches[j])
+            need = max(1, int(0.5 * min(
+                len(contigs[i]), cfg.window) - cfg.kmer_len))
+            if inter >= min(need, 32):
+                pairs.append((i, j))
+    if pairs:
+        qs = [contigs[i] for i, _ in pairs]
+        ts = [contigs[j] for _, j in pairs]
+        # check both strands: query vs target and revcomp
+        s1, _, _ = _sw_batch_np(qs, ts, "local", SWParams(1, -4, 7, 1))
+        rs = [dna.revcomp(q) for q in qs]
+        s2, _, _ = _sw_batch_np(rs, ts, "local", SWParams(1, -4, 7, 1))
+        for (i, j), sc1, sc2 in zip(pairs, s1, s2):
+            if not (keep[i] and keep[j]):
+                continue
+            sc = max(sc1, sc2)
+            li, lj = len(contigs[i]), len(contigs[j])
+            if sc >= cfg.dedup_cutoff * li:
+                if li < lj:                 # contained (-K)
+                    keep[i] = False
+                elif lj * (1.0 - cfg.dedup_cutoff) >= abs(li - lj) and i > j:
+                    keep[i] = False         # near-dup (-P), drop higher idx
+    return [i for i in range(n) if keep[i]]
+
+
+def _significant(score, qlen, tlen, qe, te, cfg: MergeConfig):
+    """IsScoreSignificant + edge direction; returns None or
+    ('12'|'21', overlap_len)."""
+    c1 = qlen - qe
+    c2 = tlen - te
+    nclip = min(c1, c2)
+    if nclip > cfg.max_clip_len:
+        return None
+    ov0 = min(qlen, tlen)
+    ov1 = te if c1 <= c2 else ov0      # row end hit: overlap = colStart
+    ov2 = qe if c2 <= c1 else ov0
+    ov = min(ov0, ov1, ov2)
+    if ov < qlen * cfg.min_frac_overlap and ov < tlen * cfg.min_frac_overlap:
+        return None
+    # containment rejection (>=5bp extension required)
+    if c1 <= c2 and te + 5 - 1 >= tlen:
+        return None
+    if c2 <= c1 and qe + 5 - 1 >= qlen:
+        return None
+    if score < ov * (1.0 - cfg.frac_score_loss):
+        return None
+    if ov < cfg.min_overlap_len:       # < -x: not a contig-contig merge
+        return None
+    # direction: suffix of seq1 onto prefix of seq2 => A then B
+    if c1 <= c2:
+        return ("12", ov)
+    return ("21", ov)
+
+
+def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
+    """Returns (merged list of np arrays, info list of node-index paths).
+
+    Node space: 0..n-1 forward contigs, n..2n-1 revcomp twins.
+    """
+    n = len(contigs)
+    if n == 0:
+        return [], []
+    nodes = list(contigs) + [dna.revcomp(c) for c in contigs]
+    N = len(nodes)
+    k = cfg.kmer_len
+    heads = [_sketch(s[:cfg.window], k) for s in nodes]
+    tails = [_sketch(s[-cfg.window:], k) for s in nodes]
+
+    cand = []
+    for a in range(N):
+        for b in range(N):
+            if a == b or (a % n) == (b % n):
+                continue
+            if _shared_kmers(tails[a], heads[b]) >= cfg.min_support_kmer:
+                cand.append((a, b))
+    if not cand:
+        return [], []
+
+    qs = [nodes[a] for a, _ in cand]
+    ts = [nodes[b] for _, b in cand]
+    s, qe, te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
+                             end_slack=cfg.max_clip_len)
+
+    edges = {}
+    for (a, b), sc, q_e, t_e in zip(cand, s, qe, te):
+        sig = _significant(int(sc), len(nodes[a]), len(nodes[b]),
+                           int(q_e), int(t_e), cfg)
+        if sig is None:
+            continue
+        mode, ov = sig
+        if mode == "12":
+            # splice point: qstart of the overlap path on A
+            qstart, _, _ = sw_host.alignment_stats(
+                nodes[a], nodes[b], MERGE_PARAMS, "overlap",
+                int(q_e), int(t_e))
+            edges[(a, b)] = (ov, qstart)
+        else:
+            tstart = sw_host.traceback(nodes[a], nodes[b], MERGE_PARAMS,
+                                       "overlap", int(q_e), int(t_e))[1]
+            edges[(b, a)] = (ov, tstart)
+
+    if not edges:
+        return [], []
+
+    # ---- DAG path enumeration (host; graphs are tiny per gap) ----------
+    adj: dict[int, list[int]] = {}
+    for (a, b) in edges:
+        adj.setdefault(a, []).append(b)
+    # drop cycle edges via iterative DFS coloring
+    color = {}
+    kill = set()
+
+    def dfs(u, stack):
+        color[u] = 1
+        for v in adj.get(u, ()):
+            if (u, v) in kill:
+                continue
+            if color.get(v, 0) == 1:
+                kill.add((u, v))
+            elif color.get(v, 0) == 0:
+                dfs(v, stack)
+        color[u] = 2
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        for u in sorted(adj):
+            if color.get(u, 0) == 0:
+                dfs(u, [])
+    finally:
+        sys.setrecursionlimit(old)
+    for e in kill:
+        edges.pop(e, None)
+        adj[e[0]].remove(e[1])
+
+    indeg = {v: 0 for v in range(N)}
+    for (a, b) in edges:
+        indeg[b] += 1
+    sources = [v for v in range(N)
+               if indeg[v] == 0 and adj.get(v)]
+    paths = []
+
+    cap = 4 * cfg.max_paths_per_gap
+
+    def extend_path(path):
+        if len(paths) > cap:
+            return
+        u = path[-1]
+        nxt = [v for v in adj.get(u, ()) if v not in path]
+        if not nxt or len(path) >= cfg.max_path_nodes:
+            if len(path) > 1:
+                paths.append(list(path))
+            return
+        for v in nxt:
+            extend_path(path + [v])
+
+    for src in sources:
+        extend_path([src])
+        if len(paths) > cap:
+            break
+
+    def splice(p):
+        """Merged sequence: at each edge keep the upstream prefix up to
+        the overlap start, then all of the downstream contig (the
+        reference keeps seq2's characters in the overlap)."""
+        seq = nodes[p[0]]
+        for a, b in zip(p, p[1:]):
+            _, qstart = edges[(a, b)]
+            offset = len(seq) - len(nodes[a])  # a is the suffix of seq
+            seq = np.concatenate([seq[:offset + qstart], nodes[b]])
+        return seq
+
+    def path_len(p):
+        total = len(nodes[p[0]])
+        for a, b in zip(p, p[1:]):
+            _, qstart = edges[(a, b)]
+            total = total - len(nodes[a]) + qstart + len(nodes[b])
+        return total
+
+    paths.sort(key=lambda p: (-path_len(p), p))
+    merged, infos, seen = [], [], set()
+    for p in paths[: cfg.max_paths_per_gap]:
+        seq = splice(p)
+        key = min(seq.tobytes(), dna.revcomp(seq).tobytes())
+        if key in seen:      # RemoveDupRevCompPaths
+            continue
+        seen.add(key)
+        merged.append(seq)
+        infos.append(p)
+    return merged, infos

@@ -73,14 +73,25 @@ def dp_matrices(q, t, p: SWParams, mode: str):
 
 
 def sw_np(q: np.ndarray, t: np.ndarray, p: SWParams = SWParams(),
-          mode: str = "local"):
+          mode: str = "local", end_slack: int = 0):
     """Full DP. Returns (score, qend, tend, H) with 1-based ends
-    (qend/tend = number of consumed bases of q/t at the best cell)."""
+    (qend/tend = number of consumed bases of q/t at the best cell).
+
+    end_slack (overlap mode only): also consider end cells up to
+    `slack` rows/cols before the last — the reference ContigsMerger's
+    maxOverlapClipLen end scan (ContigsCompactor.cpp:1676-1708), which
+    leaves up to that many tail bases of ONE sequence unaligned and
+    unpenalized.
+    """
     n, m = len(q), len(t)
     H, _, _ = dp_matrices(q, t, p, mode)
     if mode == "overlap":
-        cand = [(H[n, j], n, j) for j in range(m + 1)]
-        cand += [(H[i, m], i, m) for i in range(n + 1)]
+        cand = []
+        for c in range(end_slack + 1):
+            if n - c >= 0:
+                cand += [(H[n - c, j], n - c, j) for j in range(m + 1)]
+            if m - c >= 0:
+                cand += [(H[i, m - c], i, m - c) for i in range(n + 1)]
         score, qend, tend = max(cand, key=lambda x: (x[0], x[1], x[2]))
     else:
         flat = np.argmax(H)

@@ -41,7 +41,7 @@ def _round_up(x, m):
 
 def _kernel(qreg_ref, qlen_ref, trev_ref, tlen_ref,
             score_ref, qend_ref, tend_ref,
-            *, params: SWParams, mode: str, steps: int):
+            *, params: SWParams, mode: str, steps: int, end_slack: int = 0):
     TB, W = qreg_ref.shape
     go, ge = params.gap_open, params.gap_extend
 
@@ -58,7 +58,9 @@ def _kernel(qreg_ref, qlen_ref, trev_ref, tlen_ref,
     def row0(d):
         if free_ends:
             return jnp.where(d <= tlen, 0, NEG)  # [TB,1]
-        return jnp.full_like(tlen, NEG)          # extend: origin handled at d=0
+        # extend: origin handled at d=0. Derive from tlen (not a splat
+        # constant) to dodge a Mosaic replicated-layout relayout bug.
+        return tlen * 0 + NEG
 
     def shift(x, fill):
         r = pltpu.roll(x, 1, 1)
@@ -96,7 +98,8 @@ def _kernel(qreg_ref, qlen_ref, trev_ref, tlen_ref,
         H = jnp.where((lane == d) & (lane <= qlen), col0, H)
 
         if mode == "overlap":
-            endcell = valid & ((lane == qlen) | (j == tlen))
+            endcell = valid & ((lane >= qlen - end_slack) |
+                               (j >= tlen - end_slack))
             cand = jnp.where(endcell, H, NEG)
         else:
             cand = jnp.where(valid, H, NEG)
@@ -121,10 +124,10 @@ def _kernel(qreg_ref, qlen_ref, trev_ref, tlen_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "mode", "batch_tile",
-                                             "interpret"))
+                                             "interpret", "end_slack"))
 def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
                     mode: str = "local", batch_tile: int = 256,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, end_slack: int = 0):
     """Drop-in replacement for sw_xla.sw_batch (TPU kernel).
 
     q: [B, Lq] int8/int32 codes, t: [B, Lt]; per-pair lengths qlen/tlen.
@@ -152,7 +155,8 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     score, qend, tend = pl.pallas_call(
-        functools.partial(_kernel, params=params, mode=mode, steps=steps),
+        functools.partial(_kernel, params=params, mode=mode, steps=steps,
+                          end_slack=end_slack),
         out_shape=out_shape,
         grid=grid,
         in_specs=[bspec(W), bspec(1), bspec(W), bspec(1)],

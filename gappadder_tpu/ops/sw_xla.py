@@ -34,9 +34,9 @@ def _shift(x, fill):
     return jnp.concatenate([fill[:, None], x[:, :-1]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "mode"))
+@functools.partial(jax.jit, static_argnames=("params", "mode", "end_slack"))
 def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
-             mode: str = "local"):
+             mode: str = "local", end_slack: int = 0):
     """Batched DP scores + best endpoints.
 
     Args:
@@ -118,7 +118,8 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
 
         # best tracking
         if mode == "overlap":
-            endcell = valid & ((lane == qlen[:, None]) | (j == tlen[:, None]))
+            endcell = valid & ((lane >= qlen[:, None] - end_slack) |
+                               (j >= tlen[:, None] - end_slack))
             cand = jnp.where(endcell, H, NEG)
         else:
             cand = jnp.where(valid, H, NEG)

@@ -21,9 +21,32 @@ import numpy as np
 from .. import dna
 from ..config import Config
 from ..io import fasta, fastq
+from ..ops import merge_engine
 from . import assemble, pick
 from .preprocess import gap_ids
 from .workspace import Workspace, config_hash
+
+MERGE_SKIP_BASES = 1 << 20   # MergeContigs.py:79-83 skips merging >1MB sets
+
+
+def refine_contigs(seqs, lens, count, names, mcfg: merge_engine.MergeConfig):
+    """Per-gap dedup -> overlap merge -> dedup (MergeContigs.py:15-99).
+
+    Returns (list of contig code arrays, list of names)."""
+    contigs = [np.asarray(seqs[i][:int(lens[i])]) for i in range(count)]
+    keep = merge_engine.dedup_contigs(contigs, mcfg)
+    contigs = [contigs[i] for i in keep]
+    names = [names[i] for i in keep]
+    if contigs and sum(len(c) for c in contigs) <= MERGE_SKIP_BASES:
+        merged, _ = merge_engine.merge_contigs(contigs, mcfg)
+        if merged:
+            contigs = contigs + merged
+            names = names + [f"NEW_CONTIG_MERGE_{i}"
+                             for i in range(len(merged))]
+            keep = merge_engine.dedup_contigs(contigs, mcfg)
+            contigs = [contigs[i] for i in keep]
+            names = [names[i] for i in keep]
+    return contigs, names
 
 
 def build_gap_read_arrays(rec, readsets, n_gaps: int):
@@ -90,6 +113,14 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
         R = 1 << max(4, (len(per_gap[g]) - 1).bit_length())
         buckets.setdefault(R, []).append(g)
 
+    mcfg = merge_engine.MergeConfig(
+        frac_score_loss=cfg.merge_max_frac_score_loss,
+        min_overlap_len=cfg.merge_min_overlap_len,
+        max_clip_len=cfg.merge_max_clip_len,
+        kmer_len=cfg.merge_kmer_len,
+        min_support_kmer=cfg.merge_min_support_kmer,
+        dedup_cutoff=cfg.dedup_cutoff)
+
     for R, gap_list in sorted(buckets.items()):
         for lo in range(0, len(gap_list), 16):
             batch = gap_list[lo:lo + 16]
@@ -98,9 +129,12 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
             contigs = assemble.assemble_gap_batch(
                 cfg, seq, rlen, nreads, max_distinct=md)
             for i, g in enumerate(batch):
-                contig_store[g] = (contigs.seq[i], contigs.length[i],
-                                   int(contigs.count[i]), contigs.names[i])
-            _pick_batch(cfg, gaps, batch, contigs, fills, exts,
+                clist, cnames = refine_contigs(
+                    contigs.seq[i], contigs.length[i],
+                    int(contigs.count[i]), contigs.names[i], mcfg)
+                contig_store[g] = _tuple_from_list(clist, cnames)
+            gc = _restack(contig_store, batch)
+            _pick_batch(cfg, gaps, batch, gc, fills, exts,
                         cfg.pick_min_score_round1, allow_extension=False)
 
     # final relaxed pick for still-open gaps
@@ -119,17 +153,29 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
     return fills, exts, contig_store
 
 
+def _tuple_from_list(clist, cnames):
+    """(seq 2-D, lens, count, names) from a ragged contig list."""
+    n = len(clist)
+    Lmax = max((len(c) for c in clist), default=1)
+    seq = np.full((max(n, 1), Lmax), dna.N, np.int8)
+    lens = np.zeros(max(n, 1), np.int32)
+    for i, c in enumerate(clist):
+        seq[i, :len(c)] = c
+        lens[i] = len(c)
+    return seq, lens, n, cnames
+
+
 def _restack(contig_store, batch):
     C = max(contig_store[g][2] for g in batch)
     C = max(C, 1)
-    Lmax = contig_store[batch[0]][0].shape[1]
+    Lmax = max(contig_store[g][0].shape[1] for g in batch)
     seq = np.full((len(batch), C, Lmax), dna.N, np.int8)
     lens = np.zeros((len(batch), C), np.int32)
     cnt = np.zeros(len(batch), np.int32)
     names = []
     for i, g in enumerate(batch):
         s, l, n, nm = contig_store[g]
-        seq[i, :n] = s[:n]
+        seq[i, :n, :s.shape[1]] = s[:n]
         lens[i, :n] = l[:n]
         cnt[i] = n
         names.append(nm)
