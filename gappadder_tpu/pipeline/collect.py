@@ -240,6 +240,7 @@ def run_collect(cfg: Config, ws: Workspace,
     scaffold_names = ws.load_json("scaffold_names")
 
     all_cols = {"gap": [], "side": [], "row": [], "hq": [], "lib": []}
+    bu_cols = {"lib": [], "side": [], "row": []}
     readsets = []
     for li, lib in enumerate(cfg.libraries):
         aln = bam_io.read_bam(lib.bam)
@@ -252,11 +253,29 @@ def run_collect(cfg: Config, ws: Workspace,
             all_cols[k].append(rec[k])
         all_cols["lib"].append(np.full(len(rec["gap"]), li, np.int32))
 
+        # both-ends-unmapped pairs for the round-2 rescue
+        # (collect_both_unmapped_reads.py:14-34, `samtools view -f 12`)
+        bu_hash = np.unique(aln.name_hash[(aln.flag & 12) == 12])
+        for side_val, rs in ((0, left), (1, right)):
+            if rs is None or rs.n == 0 or not len(bu_hash):
+                continue
+            order = np.argsort(rs.name_hash, kind="stable")
+            sh = rs.name_hash[order]
+            idx = np.clip(np.searchsorted(sh, bu_hash), 0, len(sh) - 1)
+            found = sh[idx] == bu_hash
+            rows = order[idx][found]
+            bu_cols["lib"].append(np.full(len(rows), li, np.int32))
+            bu_cols["side"].append(np.full(len(rows), side_val, np.int32))
+            bu_cols["row"].append(rows.astype(np.int32))
+
     rec = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
            for k, v in all_cols.items()}
     order = np.lexsort((rec["row"], rec["side"], rec["lib"], rec["gap"]))
     rec = {k: v[order] for k, v in rec.items()}
     ws.save_arrays("recruits", **rec)
+    bu = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
+          for k, v in bu_cols.items()}
+    ws.save_arrays("both_unmapped", **bu)
     ws.mark_done("collect", config_hash(cfg), num_recruits=int(len(rec["gap"])))
 
     if write_parity_files:

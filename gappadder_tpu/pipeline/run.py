@@ -1,12 +1,15 @@
-"""Assembly+Pick driver: ties recruits -> contigs -> picked fills.
+"""Assembly+Pick driver: the full two-round pipeline with rescue.
 
-Equivalent of ``GapAssembler.assemble_pipeline``
-(/root/reference/assemble_gaps.py:328-368) round 1 + the final pick:
-for every gap with recruited reads, run multi-k DBG assembly, then the
-full-closure pick at the round-1 bwa threshold; gaps still open get a
-second full pick plus the extension fallback at the relaxed final
-threshold. (The reference's round-2 read rescue lives in
-pipeline/rescue.py and slots between these.)
+Mirrors ``GapAssembler.assemble_pipeline``
+(/root/reference/assemble_gaps.py:328-368):
+
+  round 1: per-gap multi-k DBG assembly -> dedup/merge -> full pick
+           (bwa-score threshold 30);
+  rescue:  both-ends-unmapped pairs matched against open gaps' contigs
+           join those gaps' read sets (pipeline/rescue.py);
+  round 2: re-assemble rescued gaps -> merge -> pick(30);
+  final:   HQ clip-read pseudo-contigs appended + re-merge, then the
+           relaxed full pick (threshold 15) and the extension fallback.
 
 Gap batches are bucketed by read count so padded shapes stay small and
 jit caches stay warm across buckets of the same size.
@@ -14,39 +17,34 @@ jit caches stay warm across buckets of the same size.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from .. import dna
 from ..config import Config
 from ..io import fasta, fastq
 from ..ops import merge_engine
-from . import assemble, pick
+from . import assemble, pick, rescue
 from .preprocess import gap_ids
 from .workspace import Workspace, config_hash
 
 MERGE_SKIP_BASES = 1 << 20   # MergeContigs.py:79-83 skips merging >1MB sets
 
 
-def refine_contigs(seqs, lens, count, names, mcfg: merge_engine.MergeConfig):
-    """Per-gap dedup -> overlap merge -> dedup (MergeContigs.py:15-99).
-
-    Returns (list of contig code arrays, list of names)."""
-    contigs = [np.asarray(seqs[i][:int(lens[i])]) for i in range(count)]
-    keep = merge_engine.dedup_contigs(contigs, mcfg)
-    contigs = [contigs[i] for i in keep]
+def refine_contigs(clist, names, mcfg: merge_engine.MergeConfig):
+    """Per-gap dedup -> overlap merge -> dedup (MergeContigs.py:15-99)."""
+    keep = merge_engine.dedup_contigs(clist, mcfg)
+    clist = [clist[i] for i in keep]
     names = [names[i] for i in keep]
-    if contigs and sum(len(c) for c in contigs) <= MERGE_SKIP_BASES:
-        merged, _ = merge_engine.merge_contigs(contigs, mcfg)
+    if clist and sum(len(c) for c in clist) <= MERGE_SKIP_BASES:
+        merged, _ = merge_engine.merge_contigs(clist, mcfg)
         if merged:
-            contigs = contigs + merged
+            clist = clist + merged
             names = names + [f"NEW_CONTIG_MERGE_{i}"
                              for i in range(len(merged))]
-            keep = merge_engine.dedup_contigs(contigs, mcfg)
-            contigs = [contigs[i] for i in keep]
+            keep = merge_engine.dedup_contigs(clist, mcfg)
+            clist = [clist[i] for i in keep]
             names = [names[i] for i in keep]
-    return contigs, names
+    return clist, names
 
 
 def build_gap_read_arrays(rec, readsets, n_gaps: int):
@@ -74,85 +72,6 @@ def _pad_batch(gap_indices, per_gap, readsets, R, L):
     return seq, rlen, nreads
 
 
-def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
-                          readsets=None, genome: fasta.Genome | None = None):
-    """Returns (fills, extensions, contig_table).
-
-    fills: {gap_idx: np.int8 fill codes}; extensions: {gap_idx: codes};
-    also writes picked_seqs.fa in the reference's format.
-    """
-    gaps = ws.load_arrays("gaps")
-    n_gaps = len(gaps["start"])
-    if rec is None:
-        z = ws.load_arrays("recruits")
-        rec = {k: z[k] for k in z}
-    if readsets is None:
-        readsets = []
-        for lib in cfg.libraries:
-            readsets.append((
-                fastq.read_fastq(lib.left_fq) if lib.left_fq else None,
-                fastq.read_fastq(lib.right_fq) if lib.right_fq else None))
-
-    per_gap = build_gap_read_arrays(rec, readsets, n_gaps)
-    active = [g for g in range(n_gaps) if per_gap[g]]
-    if not active:
-        return {}, {}, None
-
-    max_read_len = max(
-        (int(rs.length.max()) if rs is not None and rs.n else 0)
-        for pair in readsets for rs in pair)
-    L = max(max_read_len, max(k for k, _ in cfg.kmers) + 1)
-
-    fills: dict[int, np.ndarray] = {}
-    exts: dict[int, tuple] = {}
-    contig_store: dict[int, tuple] = {}
-
-    # bucket gaps by read count
-    buckets: dict[int, list[int]] = {}
-    for g in active:
-        R = 1 << max(4, (len(per_gap[g]) - 1).bit_length())
-        buckets.setdefault(R, []).append(g)
-
-    mcfg = merge_engine.MergeConfig(
-        frac_score_loss=cfg.merge_max_frac_score_loss,
-        min_overlap_len=cfg.merge_min_overlap_len,
-        max_clip_len=cfg.merge_max_clip_len,
-        kmer_len=cfg.merge_kmer_len,
-        min_support_kmer=cfg.merge_min_support_kmer,
-        dedup_cutoff=cfg.dedup_cutoff)
-
-    for R, gap_list in sorted(buckets.items()):
-        for lo in range(0, len(gap_list), 16):
-            batch = gap_list[lo:lo + 16]
-            seq, rlen, nreads = _pad_batch(batch, per_gap, readsets, R, L)
-            md = min(1 << 14, max(1 << 10, 4 * R * L // 2))
-            contigs = assemble.assemble_gap_batch(
-                cfg, seq, rlen, nreads, max_distinct=md)
-            for i, g in enumerate(batch):
-                clist, cnames = refine_contigs(
-                    contigs.seq[i], contigs.length[i],
-                    int(contigs.count[i]), contigs.names[i], mcfg)
-                contig_store[g] = _tuple_from_list(clist, cnames)
-            gc = _restack(contig_store, batch)
-            _pick_batch(cfg, gaps, batch, gc, fills, exts,
-                        cfg.pick_min_score_round1, allow_extension=False)
-
-    # final relaxed pick for still-open gaps
-    remaining = [g for g in active if g not in fills and g in contig_store]
-    for lo in range(0, len(remaining), 16):
-        batch = remaining[lo:lo + 16]
-        if not batch:
-            continue
-        gc = _restack(contig_store, batch)
-        _pick_batch(cfg, gaps, batch, gc, fills, exts,
-                    cfg.pick_min_score_final, allow_extension=True)
-
-    _write_picked(cfg, ws, gaps, fills, exts, contig_store)
-    ws.mark_done("assembly", config_hash(cfg), filled=len(fills),
-                 extended=len(exts))
-    return fills, exts, contig_store
-
-
 def _tuple_from_list(clist, cnames):
     """(seq 2-D, lens, count, names) from a ragged contig list."""
     n = len(clist)
@@ -162,12 +81,11 @@ def _tuple_from_list(clist, cnames):
     for i, c in enumerate(clist):
         seq[i, :len(c)] = c
         lens[i] = len(c)
-    return seq, lens, n, cnames
+    return seq, lens, n, list(cnames)
 
 
 def _restack(contig_store, batch):
-    C = max(contig_store[g][2] for g in batch)
-    C = max(C, 1)
+    C = max(max(contig_store[g][2] for g in batch), 1)
     Lmax = max(contig_store[g][0].shape[1] for g in batch)
     seq = np.full((len(batch), C, Lmax), dna.N, np.int8)
     lens = np.zeros((len(batch), C), np.int32)
@@ -182,35 +100,142 @@ def _restack(contig_store, batch):
     return assemble.GapContigs(seq=seq, length=lens, count=cnt, names=names)
 
 
-def _pick_batch(cfg, gaps, batch, contigs, fills, exts, min_score,
-                allow_extension):
-    idx = [i for i, g in enumerate(batch) if g not in fills]
-    if not idx:
-        return
-    fl = gaps["flank_left"][batch]
-    fr = gaps["flank_right"][batch]
-    hits = pick.align_flanks_to_contigs(
-        fl, fr, contigs.seq, contigs.length, contigs.count,
-        min_score=min_score, use_pallas=cfg.tpu.use_pallas)
-    for i, g in enumerate(batch):
-        if g in fills:
+def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg):
+    """Assemble + refine contigs for the given gaps (bucketed)."""
+    buckets: dict[int, list[int]] = {}
+    for g in gap_list:
+        R = 1 << max(4, (max(len(per_gap[g]), 1) - 1).bit_length())
+        buckets.setdefault(R, []).append(g)
+    for R, gl in sorted(buckets.items()):
+        for lo in range(0, len(gl), 16):
+            batch = gl[lo:lo + 16]
+            seq, rlen, nreads = _pad_batch(batch, per_gap, readsets, R, L)
+            md = min(1 << 14, max(1 << 10, 4 * R * L // 2))
+            contigs = assemble.assemble_gap_batch(
+                cfg, seq, rlen, nreads, max_distinct=md)
+            for i, g in enumerate(batch):
+                raw = [np.asarray(contigs.seq[i][j][:int(contigs.length[i][j])])
+                       for j in range(int(contigs.count[i]))]
+                clist, cnames = refine_contigs(raw, contigs.names[i], mcfg)
+                contig_store[g] = _tuple_from_list(clist, cnames)
+
+
+def _pick_gaps(cfg, gaps, gap_list, contig_store, fills, exts, min_score,
+               allow_extension):
+    gap_list = [g for g in gap_list if g in contig_store
+                and contig_store[g][2] > 0 and g not in fills]
+    for lo in range(0, len(gap_list), 16):
+        batch = gap_list[lo:lo + 16]
+        if not batch:
             continue
-        res = pick.pick_full(hits[i], contigs.seq[i], contigs.length[i])
-        if res is not None:
-            c, gap_seq, rc, contig_out = res
-            fills[g] = (gap_seq, contigs.names[i][c])
-        elif allow_extension:
-            res = pick.pick_extension(hits[i], contigs.seq[i],
-                                      contigs.length[i])
+        gc = _restack(contig_store, batch)
+        fl = gaps["flank_left"][batch]
+        fr = gaps["flank_right"][batch]
+        hits = pick.align_flanks_to_contigs(
+            fl, fr, gc.seq, gc.length, gc.count,
+            min_score=min_score, use_pallas=cfg.tpu.use_pallas)
+        for i, g in enumerate(batch):
+            res = pick.pick_full(hits[i], gc.seq[i], gc.length[i])
             if res is not None:
-                lc, rc_, seq, contig_out = res
-                nm = contigs.names[i]
-                lname = nm[lc] if lc >= 0 else ""
-                rname = nm[rc_] if rc_ >= 0 else ""
-                exts[g] = (seq, f"{lname}_{rname}")
+                c, gap_seq, rc, _ = res
+                fills[g] = (gap_seq, gc.names[i][c])
+            elif allow_extension and g not in exts:
+                res = pick.pick_extension(hits[i], gc.seq[i], gc.length[i])
+                if res is not None:
+                    lc, rc_, seq, _ = res
+                    nm = gc.names[i]
+                    lname = nm[lc] if lc >= 0 else ""
+                    rname = nm[rc_] if rc_ >= 0 else ""
+                    exts[g] = (seq, f"{lname}_{rname}")
 
 
-def _write_picked(cfg, ws, gaps, fills, exts, contig_store):
+def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
+                          readsets=None, genome: fasta.Genome | None = None):
+    """Returns (fills, exts, contig_store); writes picked_seqs.fa."""
+    gaps = ws.load_arrays("gaps")
+    n_gaps = len(gaps["start"])
+    if rec is None:
+        z = ws.load_arrays("recruits")
+        rec = {k: z[k] for k in z}
+    if readsets is None:
+        readsets = []
+        for lib in cfg.libraries:
+            readsets.append((
+                fastq.read_fastq(lib.left_fq) if lib.left_fq else None,
+                fastq.read_fastq(lib.right_fq) if lib.right_fq else None))
+
+    per_gap = build_gap_read_arrays(rec, readsets, n_gaps)
+    active = [g for g in range(n_gaps) if per_gap[g]]
+    fills: dict[int, tuple] = {}
+    exts: dict[int, tuple] = {}
+    contig_store: dict[int, tuple] = {}
+    if not active:
+        _write_picked(cfg, ws, gaps, fills, exts)
+        ws.mark_done("assembly", config_hash(cfg), filled=0, extended=0)
+        return fills, exts, contig_store
+
+    max_read_len = max(
+        (int(rs.length.max()) if rs is not None and rs.n else 0)
+        for pair in readsets for rs in pair)
+    L = max(max_read_len, max(k for k, _ in cfg.kmers) + 1, 1)
+
+    mcfg = merge_engine.MergeConfig(
+        frac_score_loss=cfg.merge_max_frac_score_loss,
+        min_overlap_len=cfg.merge_min_overlap_len,
+        max_clip_len=cfg.merge_max_clip_len,
+        kmer_len=cfg.merge_kmer_len,
+        min_support_kmer=cfg.merge_min_support_kmer,
+        dedup_cutoff=cfg.dedup_cutoff)
+
+    # ---- round 1 --------------------------------------------------------
+    _assemble_gaps(cfg, active, per_gap, readsets, L, contig_store, mcfg)
+    _pick_gaps(cfg, gaps, active, contig_store, fills, exts,
+               cfg.pick_min_score_round1, allow_extension=False)
+
+    # ---- rescue + round 2 ----------------------------------------------
+    open_gaps = [g for g in active if g not in fills]
+    if open_gaps:
+        extra = rescue.rescue_both_unmapped(cfg, ws, readsets,
+                                            contig_store, open_gaps)
+        round2 = [g for g in open_gaps if extra.get(g)]
+        for g in round2:
+            seen = set(per_gap[g])
+            per_gap[g] += [e for e in extra[g] if e not in seen]
+        if round2:
+            _assemble_gaps(cfg, round2, per_gap, readsets, L,
+                           contig_store, mcfg)
+            _pick_gaps(cfg, gaps, round2, contig_store, fills, exts,
+                       cfg.pick_min_score_round1, allow_extension=False)
+
+    # ---- HQ clip pseudo-contigs + final relaxed pick --------------------
+    open_gaps = [g for g in active if g not in fills]
+    hq_per_gap: dict[int, list] = {}
+    for g, side, li, row, hq in zip(rec["gap"], rec["side"], rec["lib"],
+                                    rec["row"], rec["hq"]):
+        if hq and int(g) in set(open_gaps):
+            hq_per_gap.setdefault(int(g), []).append(
+                (int(li), int(side), int(row)))
+    for g in open_gaps:
+        if g not in contig_store:
+            continue
+        pseudo = rescue.hq_pseudo_contigs(cfg, g, contig_store, readsets,
+                                          hq_per_gap.get(g, []))
+        if pseudo:
+            s, l, n, nm = contig_store[g]
+            clist = [np.asarray(s[i][:int(l[i])]) for i in range(n)] + pseudo
+            names = nm + [f"hqread_{i}" for i in range(len(pseudo))]
+            clist, names = refine_contigs(clist, names, mcfg)
+            contig_store[g] = _tuple_from_list(clist, names)
+    _pick_gaps(cfg, gaps, open_gaps, contig_store, fills, exts,
+               cfg.pick_min_score_final, allow_extension=True)
+
+    _write_picked(cfg, ws, gaps, fills, exts)
+    ws.mark_done("assembly", config_hash(cfg), filled=len(fills),
+                 extended=len(exts))
+    return fills, exts, contig_store
+
+
+def _write_picked(cfg, ws, gaps, fills, exts):
     """picked_seqs.fa in the reference's naming
     (<gap_id>_<contig> / <gap_id>_<l>_<r>_extended)."""
     ids = gap_ids(gaps)
@@ -218,6 +243,8 @@ def _write_picked(cfg, ws, gaps, fills, exts, contig_store):
     for g, (seq, cname) in sorted(fills.items()):
         recs.append((f"{ids[g]}_{cname}", seq))
     for g, (seq, names) in sorted(exts.items()):
+        if g in fills:
+            continue
         recs.append((f"{ids[g]}_{names}_extended", seq))
     fasta.write_fasta(ws.path("picked_seqs.fa"), recs)
 

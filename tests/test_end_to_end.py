@@ -13,9 +13,10 @@ from gappadder_tpu.pipeline.workspace import Workspace
 import read_simulator
 
 
-def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500):
+def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500,
+           gap_pos=None, insert=300, std=30):
     truth = "".join(np.array(list("ACGT"))[rng.integers(0, 4, L)])
-    gs = L // 2 - gap_len // 2
+    gs = (L // 2 - gap_len // 2) if gap_pos is None else gap_pos
     ge = gs + gap_len
     draft = truth[:gs] + "N" * gap_len + truth[ge:]
     draft_path = str(tmp_path / "draft.fa")
@@ -23,13 +24,13 @@ def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500):
 
     bam, lfq, rfq = read_simulator.write_library(
         tmp_path, "lib", truth, [(gs, ge)], n_pairs, rng,
-        read_len=100, insert=300, std=30)
+        read_len=100, insert=insert, std=std)
 
     cfg = Config(
         draft_genome=draft_path, min_gap_size=50, flank_length=150,
         working_folder=str(tmp_path / "work"),
         kmers=((25, 21), (31, 27)),
-        libraries=(Library(bam=bam, insert_size=300, std=30,
+        libraries=(Library(bam=bam, insert_size=insert, std=std,
                            left_fq=lfq, right_fq=rfq),),
         tpu=__import__("gappadder_tpu.config", fromlist=["TpuParams"])
         .TpuParams(read_batch=1 << 12, use_pallas=False))
@@ -58,3 +59,22 @@ def test_close_single_gap(tmp_path, rng):
     recs = patch.patch_scaffolds(genome, gaps, run.fills_as_codes(fills),
                                  margin=cfg.flank_margin)
     assert dna.decode(recs[0][1]) == truth
+
+
+def test_close_large_gap_needs_rescue(tmp_path, rng):
+    """A gap wider than mate reach from the edges: its interior is
+    covered only by both-ends-unmapped pairs, so closing it exercises
+    the rescue + round-2 path."""
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, gap_len=450, L=4000,
+                                  n_pairs=1400)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    preprocess.run_preprocess(cfg, ws, genome=genome)
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
+                                               readsets=readsets,
+                                               genome=genome)
+    assert 0 in fills, f"large gap not closed (exts={list(exts)})"
+    fill_seq = dna.decode(fills[0][0])
+    want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
+    assert fill_seq == want
