@@ -1,0 +1,124 @@
+"""ctypes bindings for the native (C++) BAM/FASTQ decoder.
+
+Loads native/libbamio.so (built via `make -C native`; auto-built on
+first use when a toolchain is present). Falls back transparently to
+the pure-Python readers when unavailable — same columnar outputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libbamio.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.bam_open.restype = ctypes.c_void_p
+    lib.bam_open.argtypes = [ctypes.c_char_p]
+    lib.bam_num_records.restype = ctypes.c_int64
+    lib.bam_num_records.argtypes = [ctypes.c_void_p]
+    lib.bam_refs_len.restype = ctypes.c_int64
+    lib.bam_refs_len.argtypes = [ctypes.c_void_p]
+    lib.bam_copy_refs.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.bam_copy_columns.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+    lib.bam_close.argtypes = [ctypes.c_void_p]
+    lib.fastq_open.restype = ctypes.c_void_p
+    lib.fastq_open.argtypes = [ctypes.c_char_p]
+    lib.fastq_num.restype = ctypes.c_int64
+    lib.fastq_num.argtypes = [ctypes.c_void_p]
+    lib.fastq_max_len.restype = ctypes.c_int32
+    lib.fastq_max_len.argtypes = [ctypes.c_void_p]
+    lib.fastq_names_len.restype = ctypes.c_int64
+    lib.fastq_names_len.argtypes = [ctypes.c_void_p]
+    lib.fastq_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.fastq_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_bam_native(path: str):
+    """Returns an io.bam.Alignments or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.bam_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.bam_num_records(h)
+        cols = np.empty((11, n), np.int32)
+        hashes = np.empty(n, np.uint64)
+        lib.bam_copy_columns(h, cols.ctypes.data_as(ctypes.c_void_p),
+                             hashes.ctypes.data_as(ctypes.c_void_p))
+        rl = lib.bam_refs_len(h)
+        buf = ctypes.create_string_buffer(int(rl))
+        lib.bam_copy_refs(h, buf)
+        refs = buf.raw.decode().split("\n") if rl else []
+    finally:
+        lib.bam_close(h)
+    from .bam import Alignments
+    keys = ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+            "lclip", "rclip", "nmatch", "read_len")
+    kw = {k: cols[i].copy() for i, k in enumerate(keys)}
+    return Alignments(**kw, name_hash=hashes, refs=refs, names=None)
+
+
+def read_fastq_native(path: str):
+    """Returns an io.fastq.ReadSet or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.fastq_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = int(lib.fastq_num(h))
+        L = int(lib.fastq_max_len(h))
+        nl = int(lib.fastq_names_len(h))
+        seq = np.empty((n, L), np.int8)
+        qual = np.empty((n, L), np.uint8)
+        lens = np.empty(n, np.int32)
+        hashes = np.empty(n, np.uint64)
+        name_off = np.empty(n + 1, np.int32)
+        names_buf = ctypes.create_string_buffer(max(nl, 1))
+        lib.fastq_copy(h, seq.ctypes.data_as(ctypes.c_void_p),
+                       qual.ctypes.data_as(ctypes.c_void_p),
+                       lens.ctypes.data_as(ctypes.c_void_p),
+                       hashes.ctypes.data_as(ctypes.c_void_p),
+                       name_off.ctypes.data_as(ctypes.c_void_p),
+                       names_buf)
+    finally:
+        lib.fastq_close(h)
+    blob = names_buf.raw[:nl]
+    names = [blob[name_off[i]:name_off[i + 1]] for i in range(n)]
+    from .fastq import ReadSet
+    return ReadSet(seq=seq, length=lens, qual=qual, name_hash=hashes,
+                   names=names)

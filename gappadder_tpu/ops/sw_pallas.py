@@ -66,15 +66,18 @@ def _kernel(qreg_ref, qlen_ref, trev_ref, tlen_ref,
         r = pltpu.roll(x, 1, 1)
         return jnp.where(lane == 0, fill, r)
 
-    # init: Hm2 = diag d=0, Hm1 = diag d=1
-    Hm2 = jnp.where(lane == 0, 0, NEG)
-    Hm1 = jnp.where(lane == 0, row0(jnp.ones_like(tlen)), NEG)
+    # init: Hm2 = diag d=0, Hm1 = diag d=1. Every carry is derived from
+    # input data (+ qlen*0) so Mosaic never assigns a replicated layout
+    # to a scan carry (replicated->varying relayout at the loop back
+    # edge fails to compile).
+    zrow = qlen * 0                                  # [TB,1] varying zero
+    Hm2 = jnp.where(lane == 0, 0, NEG) + zrow
+    Hm1 = jnp.where(lane == 0, row0(jnp.ones_like(tlen)), NEG + zrow)
     Hm1 = jnp.where((lane == 1) & (qlen >= 1), col0, Hm1)
-    Em1 = jnp.full((TB, W), NEG, jnp.int32)
-    Fm1 = jnp.full((TB, W), NEG, jnp.int32)
+    Em1 = zrow + jnp.full((TB, W), NEG, jnp.int32)
+    Fm1 = zrow + jnp.full((TB, W), NEG, jnp.int32)
 
-    best0 = (jnp.full((TB, 1), NEG, jnp.int32), jnp.zeros((TB, 1), jnp.int32),
-             jnp.zeros((TB, 1), jnp.int32))
+    best0 = (zrow + NEG, zrow, zrow)
 
     def body(step, carry):
         Hm2, Hm1, Em1, Fm1, rw, best = carry

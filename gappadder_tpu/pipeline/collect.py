@@ -28,8 +28,19 @@ import numpy as np
 
 from ..config import Config
 from ..io import bam as bam_io
-from ..io import fasta, fastq
+from ..io import fasta, fastq, native
 from ..ops import classify, intervals
+
+
+def read_bam_any(path: str) -> bam_io.Alignments:
+    """Native (C++) decoder when built, else the pure-Python reader."""
+    aln = native.read_bam_native(path)
+    return aln if aln is not None else bam_io.read_bam(path)
+
+
+def read_fastq_any(path: str) -> fastq.ReadSet:
+    rs = native.read_fastq_native(path)
+    return rs if rs is not None else fastq.read_fastq(path)
 from .workspace import Workspace, config_hash
 from .preprocess import gap_ids
 
@@ -243,9 +254,9 @@ def run_collect(cfg: Config, ws: Workspace,
     bu_cols = {"lib": [], "side": [], "row": []}
     readsets = []
     for li, lib in enumerate(cfg.libraries):
-        aln = bam_io.read_bam(lib.bam)
-        left = fastq.read_fastq(lib.left_fq) if lib.left_fq else None
-        right = fastq.read_fastq(lib.right_fq) if lib.right_fq else None
+        aln = read_bam_any(lib.bam)
+        left = read_fastq_any(lib.left_fq) if lib.left_fq else None
+        right = read_fastq_any(lib.right_fq) if lib.right_fq else None
         readsets.append((left, right))
         rec = collect_library(cfg, lib, gaps, scaffold_names, aln,
                               left, right)

@@ -1,0 +1,319 @@
+// Native I/O runtime: multithreaded BGZF inflate + BAM/FASTQ decoding
+// into the columnar arrays the device kernels consume.
+//
+// Replaces the reference's samtools-text pipelines and BamTools reader
+// (TERefiner/bam_parse.cpp) on the host side of the TPU framework.
+// C ABI (ctypes-friendly), no Python headers required.
+//
+// Layout contract mirrors gappadder_tpu/io/bam.py (Alignments) and
+// io/fastq.py (ReadSet); name hashing = FNV-1a 64 over the normalized
+// name (token before whitespace, trailing /1 or /2 stripped).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <thread>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint64_t FNV_OFFSET = 0xCBF29CE484222325ull;
+constexpr uint64_t FNV_PRIME = 0x100000001B3ull;
+
+uint64_t fnv1a(const char* s, size_t n) {
+  uint64_t h = FNV_OFFSET;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= static_cast<unsigned char>(s[i]);
+    h *= FNV_PRIME;
+  }
+  return h;
+}
+
+// normalized length: up to first whitespace, minus trailing /1 or /2
+size_t normalize(const char* s, size_t n) {
+  size_t e = 0;
+  while (e < n && s[e] != ' ' && s[e] != '\t') ++e;
+  if (e >= 2 && s[e - 2] == '/' && (s[e - 1] == '1' || s[e - 1] == '2'))
+    e -= 2;
+  return e;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(n));
+  size_t rd = fread(out->data(), 1, out->size(), f);
+  fclose(f);
+  return rd == out->size();
+}
+
+struct Block {
+  size_t in_off;
+  size_t in_len;    // compressed payload length
+  size_t out_off;
+  size_t out_len;   // isize
+};
+
+// Parse BGZF block table, then inflate blocks across threads.
+bool bgzf_inflate_all(const std::vector<uint8_t>& in,
+                      std::vector<uint8_t>* out) {
+  std::vector<Block> blocks;
+  size_t off = 0, total = 0;
+  while (off + 18 <= in.size()) {
+    if (in[off] != 0x1f || in[off + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, &in[off + 10], 2);
+    size_t eoff = off + 12, eend = eoff + xlen;
+    if (eend > in.size()) return false;
+    uint32_t bsize = 0;
+    while (eoff + 4 <= eend) {
+      uint8_t si1 = in[eoff], si2 = in[eoff + 1];
+      uint16_t slen;
+      memcpy(&slen, &in[eoff + 2], 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, &in[eoff + 4], 2);
+        bsize = static_cast<uint32_t>(bs) + 1;
+      }
+      eoff += 4 + slen;
+    }
+    if (bsize == 0) return false;
+    if (off + bsize > in.size()) return false;
+    uint32_t isize;
+    memcpy(&isize, &in[off + bsize - 4], 4);
+    Block b;
+    b.in_off = off + 12 + xlen;
+    b.in_len = bsize - 12 - xlen - 8;
+    b.out_off = total;
+    b.out_len = isize;
+    blocks.push_back(b);
+    total += isize;
+    off += bsize;
+  }
+  out->resize(total);
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 2;
+  nthreads = std::min<unsigned>(nthreads, 16);
+  std::vector<std::thread> threads;
+  std::vector<int> ok(nthreads, 1);
+  size_t per = (blocks.size() + nthreads - 1) / nthreads;
+  for (unsigned t = 0; t < nthreads; ++t) {
+    threads.emplace_back([&, t]() {
+      size_t lo = t * per, hi = std::min(blocks.size(), lo + per);
+      for (size_t i = lo; i < hi; ++i) {
+        const Block& b = blocks[i];
+        if (b.out_len == 0) continue;
+        z_stream zs{};
+        if (inflateInit2(&zs, -15) != Z_OK) { ok[t] = 0; return; }
+        zs.next_in = const_cast<Bytef*>(&in[b.in_off]);
+        zs.avail_in = static_cast<uInt>(b.in_len);
+        zs.next_out = &(*out)[b.out_off];
+        zs.avail_out = static_cast<uInt>(b.out_len);
+        int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (rc != Z_STREAM_END) { ok[t] = 0; return; }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int o : ok) if (!o) return false;
+  return true;
+}
+
+struct Decoded {
+  std::vector<int32_t> i32cols;  // 11 columns x n, column-major
+  std::vector<uint64_t> hashes;
+  std::string refs;              // '\n'-joined reference names
+  int64_t n = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------- BAM ----------
+// Opens + fully decodes a BAM; returns an opaque handle (or null).
+void* bam_open(const char* path) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, &raw)) return nullptr;
+  std::vector<uint8_t> u;
+  if (!bgzf_inflate_all(raw, &u)) return nullptr;
+  if (u.size() < 12 || memcmp(u.data(), "BAM\x01", 4) != 0) return nullptr;
+
+  auto rd_i32 = [&](size_t o) {
+    int32_t v; memcpy(&v, &u[o], 4); return v;
+  };
+  size_t off = 4;
+  int32_t l_text = rd_i32(off); off += 4 + l_text;
+  int32_t n_ref = rd_i32(off); off += 4;
+  auto* d = new Decoded();
+  for (int r = 0; r < n_ref; ++r) {
+    int32_t l_name = rd_i32(off);
+    if (r) d->refs.push_back('\n');
+    d->refs.append(reinterpret_cast<char*>(&u[off + 4]), l_name - 1);
+    off += 4 + l_name + 4;
+  }
+  std::vector<int32_t> cols[11];
+  while (off + 4 <= u.size()) {
+    int32_t bsz = rd_i32(off);
+    size_t rec = off + 4;
+    off = rec + bsz;
+    if (off > u.size()) break;
+    int32_t tid = rd_i32(rec + 0);
+    int32_t pos = rd_i32(rec + 4);
+    uint8_t l_rn = u[rec + 8];
+    uint8_t mapq = u[rec + 9];
+    uint16_t n_cig; memcpy(&n_cig, &u[rec + 12], 2);
+    uint16_t flag; memcpy(&flag, &u[rec + 14], 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    int32_t mtid = rd_i32(rec + 20);
+    int32_t mpos = rd_i32(rec + 24);
+    int32_t tlen = rd_i32(rec + 28);
+    const char* name = reinterpret_cast<char*>(&u[rec + 32]);
+    size_t cig = rec + 32 + l_rn;
+    int32_t lclip = 0, rclip = 0, nmatch = 0;
+    for (int c = 0; c < n_cig; ++c) {
+      uint32_t v; memcpy(&v, &u[cig + 4 * c], 4);
+      uint32_t ln = v >> 4, op = v & 0xF;
+      if (op == 0 || op == 7 || op == 8) nmatch += ln;
+      if (c == 0 && (op == 4 || op == 5)) lclip = ln;
+      if (c == n_cig - 1 && (op == 4 || op == 5)) rclip = ln;
+    }
+    cols[0].push_back(tid);
+    cols[1].push_back(pos);
+    cols[2].push_back(flag);
+    cols[3].push_back(mapq);
+    cols[4].push_back(mtid);
+    cols[5].push_back(mpos);
+    cols[6].push_back(tlen);
+    cols[7].push_back(lclip);
+    cols[8].push_back(rclip);
+    cols[9].push_back(nmatch);
+    cols[10].push_back(l_seq);
+    d->hashes.push_back(fnv1a(name, normalize(name, l_rn - 1)));
+  }
+  d->n = static_cast<int64_t>(cols[0].size());
+  d->i32cols.reserve(d->n * 11);
+  for (int c = 0; c < 11; ++c)
+    d->i32cols.insert(d->i32cols.end(), cols[c].begin(), cols[c].end());
+  return d;
+}
+
+int64_t bam_num_records(void* h) { return static_cast<Decoded*>(h)->n; }
+
+int64_t bam_refs_len(void* h) {
+  return static_cast<int64_t>(static_cast<Decoded*>(h)->refs.size());
+}
+
+void bam_copy_refs(void* h, char* out) {
+  auto* d = static_cast<Decoded*>(h);
+  memcpy(out, d->refs.data(), d->refs.size());
+}
+
+// copies 11 int32 columns (tid,pos,flag,mapq,mtid,mpos,tlen,lclip,
+// rclip,nmatch,read_len) and the uint64 hash column
+void bam_copy_columns(void* h, int32_t* i32out, uint64_t* hout) {
+  auto* d = static_cast<Decoded*>(h);
+  memcpy(i32out, d->i32cols.data(), d->i32cols.size() * 4);
+  memcpy(hout, d->hashes.data(), d->hashes.size() * 8);
+}
+
+void bam_close(void* h) { delete static_cast<Decoded*>(h); }
+
+// ---------- FASTQ ----------
+struct FastqDecoded {
+  std::vector<int8_t> seq;      // n x max_len
+  std::vector<uint8_t> qual;    // n x max_len
+  std::vector<int32_t> lens;
+  std::vector<uint64_t> hashes;
+  std::vector<int32_t> name_off;  // offsets into names blob (n+1)
+  std::string names;
+  int64_t n = 0;
+  int32_t max_len = 0;
+};
+
+void* fastq_open(const char* path) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, &raw)) return nullptr;
+  int8_t enc[256];
+  memset(enc, 4, sizeof(enc));
+  enc['A'] = enc['a'] = 0; enc['C'] = enc['c'] = 1;
+  enc['G'] = enc['g'] = 2; enc['T'] = enc['t'] = 3;
+
+  auto* d = new FastqDecoded();
+  // first pass: line index for records + max length
+  size_t i = 0, n = raw.size();
+  std::vector<std::pair<size_t, size_t>> name_sp, seq_sp, qual_sp;
+  int line_in_rec = 0;
+  while (i < n) {
+    size_t j = i;
+    while (j < n && raw[j] != '\n') ++j;
+    size_t len = j - i;
+    if (len && raw[i + len - 1] == '\r') --len;
+    switch (line_in_rec) {
+      case 0: name_sp.emplace_back(i, len); break;
+      case 1: seq_sp.emplace_back(i, len); break;
+      case 3: qual_sp.emplace_back(i, len); break;
+    }
+    line_in_rec = (line_in_rec + 1) & 3;
+    i = j + 1;
+  }
+  size_t cnt = std::min(name_sp.size(),
+                        std::min(seq_sp.size(), qual_sp.size()));
+  int32_t maxlen = 1;
+  for (size_t r = 0; r < cnt; ++r)
+    maxlen = std::max<int32_t>(maxlen, static_cast<int32_t>(seq_sp[r].second));
+  d->n = static_cast<int64_t>(cnt);
+  d->max_len = maxlen;
+  d->seq.assign(cnt * maxlen, 4);
+  d->qual.assign(cnt * maxlen, 0);
+  d->lens.resize(cnt);
+  d->hashes.resize(cnt);
+  d->name_off.resize(cnt + 1, 0);
+  for (size_t r = 0; r < cnt; ++r) {
+    const char* nm = reinterpret_cast<char*>(&raw[name_sp[r].first]);
+    size_t nl = name_sp[r].second;
+    if (nl && nm[0] == '@') { ++nm; --nl; }
+    size_t norm = normalize(nm, nl);
+    d->hashes[r] = fnv1a(nm, norm);
+    d->names.append(nm, norm);
+    d->name_off[r + 1] = static_cast<int32_t>(d->names.size());
+    size_t sl = seq_sp[r].second;
+    d->lens[r] = static_cast<int32_t>(sl);
+    const uint8_t* sp = &raw[seq_sp[r].first];
+    int8_t* dst = &d->seq[r * maxlen];
+    for (size_t c = 0; c < sl; ++c) dst[c] = enc[sp[c]];
+    size_t ql = std::min<size_t>(qual_sp[r].second, sl);
+    memcpy(&d->qual[r * maxlen], &raw[qual_sp[r].first], ql);
+  }
+  return d;
+}
+
+int64_t fastq_num(void* h) { return static_cast<FastqDecoded*>(h)->n; }
+int32_t fastq_max_len(void* h) {
+  return static_cast<FastqDecoded*>(h)->max_len;
+}
+int64_t fastq_names_len(void* h) {
+  return static_cast<int64_t>(static_cast<FastqDecoded*>(h)->names.size());
+}
+
+void fastq_copy(void* h, int8_t* seq, uint8_t* qual, int32_t* lens,
+                uint64_t* hashes, int32_t* name_off, char* names) {
+  auto* d = static_cast<FastqDecoded*>(h);
+  memcpy(seq, d->seq.data(), d->seq.size());
+  memcpy(qual, d->qual.data(), d->qual.size());
+  memcpy(lens, d->lens.data(), d->lens.size() * 4);
+  memcpy(hashes, d->hashes.data(), d->hashes.size() * 8);
+  memcpy(name_off, d->name_off.data(), d->name_off.size() * 4);
+  memcpy(names, d->names.data(), d->names.size());
+}
+
+void fastq_close(void* h) { delete static_cast<FastqDecoded*>(h); }
+
+}  // extern "C"

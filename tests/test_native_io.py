@@ -1,0 +1,55 @@
+"""Native C++ decoder parity vs the pure-Python readers."""
+
+import numpy as np
+import pytest
+
+from gappadder_tpu.io import bam as bam_io
+from gappadder_tpu.io import fastq, native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def test_bam_native_matches_python(tmp_path, rng):
+    refs = [("c1", 1000), ("c2", 500), ("long_name.scaffold-3", 77)]
+    recs = []
+    for i in range(50):
+        cig = []
+        if rng.integers(0, 2):
+            cig.append(("S", int(rng.integers(1, 30))))
+        cig.append(("M", int(rng.integers(10, 100))))
+        if rng.integers(0, 2):
+            cig.append(("S", int(rng.integers(1, 30))))
+        recs.append(dict(
+            name=f"read{i}/1 comment", flag=int(rng.choice([0x41, 0x85, 0x4D])),
+            tid=int(rng.integers(0, 3)), pos=int(rng.integers(0, 900)),
+            mapq=int(rng.choice([0, 30, 60])), cigar=cig,
+            mtid=int(rng.integers(-1, 3)), mpos=int(rng.integers(0, 900)),
+            tlen=int(rng.integers(-500, 500)),
+            seq="ACGT" * int(rng.integers(5, 20))))
+    path = str(tmp_path / "x.bam")
+    bam_io.write_bam(path, refs, recs)
+    a = bam_io.read_bam(path)
+    b = native.read_bam_native(path)
+    assert a.refs == b.refs
+    for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+              "lclip", "rclip", "nmatch", "read_len"):
+        np.testing.assert_array_equal(getattr(a, k), getattr(b, k), k)
+    np.testing.assert_array_equal(a.name_hash, b.name_hash)
+
+
+def test_fastq_native_matches_python(tmp_path, rng):
+    path = str(tmp_path / "x.fastq")
+    with open(path, "w") as fh:
+        for i in range(30):
+            n = int(rng.integers(5, 60))
+            s = "".join(np.array(list("ACGTN"))[rng.integers(0, 5, n)])
+            fh.write(f"@r{i}/{1 + i % 2} extra words\n{s}\n+\n{'I' * n}\n")
+    a = fastq.read_fastq(path)
+    b = native.read_fastq_native(path)
+    assert a.names == b.names
+    np.testing.assert_array_equal(a.name_hash, b.name_hash)
+    np.testing.assert_array_equal(a.length, b.length)
+    L = min(a.seq.shape[1], b.seq.shape[1])
+    np.testing.assert_array_equal(a.seq[:, :L], b.seq[:, :L])
+    np.testing.assert_array_equal(a.qual[:, :L], b.qual[:, :L])
