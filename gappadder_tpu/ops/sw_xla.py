@@ -150,9 +150,10 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
         bi = jnp.where(empty, 0, bi)
         bd = jnp.where(empty, 0, bd)
     if mode == "overlap":
-        # all-boundary best (e.g. empty seqs): clamp to 0 at (0,0)-ish ends
-        empty = score == NEG
+        # when no interior end-cell reaches 0 the oracle's best is the
+        # zero-score boundary cell H[qlen, 0] (free leading gap)
+        empty = score < 0
         score = jnp.where(empty, 0, score)
-        bi = jnp.where(empty, 0, bi)
-        bd = jnp.where(empty, 0, bd)
+        bi = jnp.where(empty, qlen, bi)
+        bd = jnp.where(empty, qlen, bd)
     return score, bi, bd - bi
