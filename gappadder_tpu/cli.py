@@ -17,7 +17,8 @@ import sys
 from .config import load_config
 from .io import fasta
 from .pipeline import collect, patch, preprocess, run
-from .pipeline.workspace import Workspace
+from .pipeline.workspace import Workspace, config_hash
+from .utils.meters import GLOBAL as METERS, device_trace
 
 
 def main(argv=None):
@@ -29,37 +30,68 @@ def main(argv=None):
     p.add_argument("-g", "--config", required=True)
     p.add_argument("--parity-files", action="store_true",
                    help="also write reference-layout text/FASTA files")
+    p.add_argument("--force", action="store_true",
+                   help="re-run stages even when the workspace manifest "
+                        "marks them done for this config")
+    p.add_argument("--trace", metavar="LOGDIR", default=None,
+                   help="write a JAX profiler trace for device timelines")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
     ws = Workspace(cfg.workdir)
     cmd = args.command
+    chash = config_hash(cfg)
 
     if cmd in ("Clean",):
         shutil.rmtree(cfg.workdir, ignore_errors=True)
         return 0
 
+    def wants(stage, name):
+        if cmd not in (stage, "All"):
+            return False
+        if not args.force and ws.is_done(name, chash):
+            print(f"[{name}] up-to-date (use --force to re-run)")
+            return False
+        return True
+
     genome = fasta.read_fasta(cfg.draft_genome)
-    if cmd in ("Preprocess", "All"):
-        table = preprocess.run_preprocess(cfg, ws, genome=genome,
-                                          write_parity_files=args.parity_files)
-        print(f"[preprocess] {len(table['start'])} gaps")
-    if cmd in ("Collect", "All"):
-        rec, _ = collect.run_collect(cfg, ws, genome=genome,
-                                     write_parity_files=args.parity_files)
-        print(f"[collect] {len(rec['gap'])} recruited read assignments")
-    if cmd in ("Assembly", "All"):
-        fills, exts, _ = run.run_assembly_and_pick(cfg, ws, genome=genome)
-        print(f"[assembly] {len(fills)} gaps closed, {len(exts)} extended "
-              f"-> {ws.path('picked_seqs.fa')}")
-    if cmd in ("Patch", "All"):
-        gaps = ws.load_arrays("gaps")
-        fills = _fills_from_picked(ws, gaps)
-        recs = patch.patch_scaffolds(genome, gaps, fills,
-                                     margin=cfg.flank_margin)
-        out = ws.path("filled_scaffolds.fa")
-        fasta.write_fasta(out, recs)
-        print(f"[patch] wrote {out} ({len(fills)} gaps filled)")
+    with device_trace(args.trace):
+        if wants("Preprocess", "preprocess"):
+            with METERS.stage("preprocess") as m:
+                table = preprocess.run_preprocess(
+                    cfg, ws, genome=genome,
+                    write_parity_files=args.parity_files)
+                m["gaps"] = len(table["start"])
+            print(f"[preprocess] {m['gaps']} gaps")
+        if wants("Collect", "collect"):
+            with METERS.stage("collect") as m:
+                rec, _ = collect.run_collect(
+                    cfg, ws, genome=genome,
+                    write_parity_files=args.parity_files)
+                m["recruits"] = len(rec["gap"])
+            print(f"[collect] {m['recruits']} recruited read assignments")
+        if wants("Assembly", "assembly"):
+            with METERS.stage("assembly") as m:
+                fills, exts, _ = run.run_assembly_and_pick(cfg, ws,
+                                                           genome=genome)
+                m["closed"] = len(fills)
+                m["extended"] = len(exts)
+            print(f"[assembly] {m['closed']} gaps closed, "
+                  f"{m['extended']} extended -> "
+                  f"{ws.path('picked_seqs.fa')}")
+        if cmd in ("Patch", "All"):
+            with METERS.stage("patch") as m:
+                gaps = ws.load_arrays("gaps")
+                fills = _fills_from_picked(ws, gaps)
+                recs = patch.patch_scaffolds(genome, gaps, fills,
+                                             margin=cfg.flank_margin)
+                out = ws.path("filled_scaffolds.fa")
+                fasta.write_fasta(out, recs)
+                m["filled"] = len(fills)
+            print(f"[patch] wrote {out} ({m['filled']} gaps filled)")
+    METERS.dump(ws.path("metrics.json"))
+    if cfg.verbose:
+        print(METERS.report())
     return 0
 
 
