@@ -91,24 +91,8 @@ def _shared_kmers(sk_a: np.ndarray, sk_b: np.ndarray) -> int:
 
 def _sw_batch_np(queries, targets, mode, params, end_slack=0):
     """Run a ragged list of (q, t) pairs through the device kernel."""
-    if not queries:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
-    B = len(queries)
-    Lq = max(len(q) for q in queries)
-    Lt = max(len(t) for t in targets)
-    qa = np.full((B, Lq), dna.N, np.int8)
-    ta = np.full((B, Lt), dna.N, np.int8)
-    ql = np.zeros(B, np.int32)
-    tl = np.zeros(B, np.int32)
-    for i, (q, t) in enumerate(zip(queries, targets)):
-        qa[i, :len(q)] = q
-        ta[i, :len(t)] = t
-        ql[i] = len(q)
-        tl[i] = len(t)
-    s, qe, te = sw_xla.sw_batch(jnp.asarray(qa), jnp.asarray(ql),
-                                jnp.asarray(ta), jnp.asarray(tl),
-                                params, mode, end_slack=end_slack)
-    return np.asarray(s), np.asarray(qe), np.asarray(te)
+    from .swutil import sw_ragged
+    return sw_ragged(queries, targets, params, mode, end_slack=end_slack)
 
 
 def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):

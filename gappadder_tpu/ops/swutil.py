@@ -1,0 +1,80 @@
+"""Shape-bucketed dispatch for the SW kernels.
+
+Every ragged alignment batch (pick, merge, rescue, eval) funnels
+through here: batch size and sequence lengths are padded up to
+power-of-two-ish buckets so jit caches stay warm instead of
+recompiling per distinct shape, and the backend (Pallas on TPU, XLA
+elsewhere) is chosen in one place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import dna
+from .sw_host import SWParams
+
+
+def _bucket(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def sw_pairs(queries, qlens, targets, tlens, params: SWParams,
+             mode: str, end_slack: int = 0, use_pallas: bool | None = None):
+    """Aligned scores for padded arrays with shape bucketing.
+
+    queries [B, Lq] int8, targets [B, Lt] int8 (+ lens). Returns
+    numpy (score, qend, tend) of length B.
+    """
+    B, Lq = queries.shape
+    Lt = targets.shape[1]
+    Bb = _bucket(max(B, 1), 64)
+    Lqb = _bucket(max(Lq, 1), 64)
+    Ltb = _bucket(max(Lt, 1), 128)
+    qp = np.full((Bb, Lqb), dna.N, np.int8)
+    tp = np.full((Bb, Ltb), dna.N, np.int8)
+    qp[:B, :Lq] = queries
+    tp[:B, :Lt] = targets
+    qlp = np.zeros(Bb, np.int32)
+    tlp = np.zeros(Bb, np.int32)
+    qlp[:B] = qlens
+    tlp[:B] = tlens
+
+    # use_pallas: True/None = use the Pallas kernel when actually on
+    # TPU hardware; False = force the XLA path everywhere
+    if use_pallas is None:
+        use_pallas = True
+    use_pallas = use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        from .sw_pallas import sw_batch_pallas as fn
+    else:
+        from .sw_xla import sw_batch as fn
+    s, qe, te = fn(jnp.asarray(qp), jnp.asarray(qlp), jnp.asarray(tp),
+                   jnp.asarray(tlp), params, mode, end_slack=end_slack)
+    return (np.asarray(s)[:B], np.asarray(qe)[:B], np.asarray(te)[:B])
+
+
+def sw_ragged(queries, targets, params: SWParams, mode: str,
+              end_slack: int = 0, use_pallas: bool | None = None):
+    """Ragged list-of-arrays convenience wrapper over sw_pairs."""
+    if not queries:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    B = len(queries)
+    Lq = max(len(q) for q in queries)
+    Lt = max(len(t) for t in targets)
+    qa = np.full((B, max(Lq, 1)), dna.N, np.int8)
+    ta = np.full((B, max(Lt, 1)), dna.N, np.int8)
+    ql = np.zeros(B, np.int32)
+    tl = np.zeros(B, np.int32)
+    for i, (q, t) in enumerate(zip(queries, targets)):
+        qa[i, :len(q)] = q
+        ta[i, :len(t)] = t
+        ql[i] = len(q)
+        tl[i] = len(t)
+    return sw_pairs(qa, ql, ta, tl, params, mode, end_slack, use_pallas)

@@ -32,11 +32,10 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
 from .. import dna
-from ..ops import sw_host, sw_xla, sw_pallas
+from ..ops import sw_host
 from ..ops.sw_host import BWA_PARAMS
 
 UNCLIP, LEFT_CLIP, RIGHT_CLIP, BOTH_CLIP = 4, 2, 3, 1  # reference codes
@@ -57,11 +56,7 @@ class FlankHit:
     tend: int
 
 
-def _sw_backend(use_pallas: bool):
-    import jax
-    if use_pallas and jax.default_backend() == "tpu":
-        return lambda *a, **k: sw_pallas.sw_batch_pallas(*a, **k)
-    return lambda *a, **k: sw_xla.sw_batch(*a, **k)
+from ..ops.swutil import sw_pairs
 
 
 def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
@@ -112,11 +107,9 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
     t_batch = np.asarray(contigs)[pg, pc]
     tl_batch = np.asarray(contig_lens)[pg, pc]
 
-    sw = _sw_backend(use_pallas)
-    score, qend, tend = sw(jnp.asarray(q_batch), jnp.asarray(ql_batch),
-                           jnp.asarray(t_batch), jnp.asarray(tl_batch),
-                           BWA_PARAMS, "local")
-    score = np.asarray(score); qend = np.asarray(qend); tend = np.asarray(tend)
+    score, qend, tend = sw_pairs(
+        q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "local",
+        use_pallas=use_pallas)
 
     hits: list[list[FlankHit]] = [[] for _ in range(G)]
     for i in range(len(pg)):

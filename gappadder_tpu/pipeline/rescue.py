@@ -67,11 +67,8 @@ def _verify_hits(read_seq, read_lens, pairs, contig_arr, contig_lens,
         ql[i] = ln
     t = contig_arr[[c for _, _, c, _ in pairs]]
     tl = contig_lens[[c for _, _, c, _ in pairs]]
-    score, qe, te = sw_xla.sw_batch(jnp.asarray(q), jnp.asarray(ql),
-                                    jnp.asarray(t), jnp.asarray(tl),
-                                    BWA_PARAMS, "local")
-    score = np.asarray(score)
-    qe, te = np.asarray(qe), np.asarray(te)
+    from ..ops.swutil import sw_pairs
+    score, qe, te = sw_pairs(q, ql, t, tl, BWA_PARAMS, "local")
     out = []
     for i, (r, s, c, v) in enumerate(pairs):
         if score[i] >= min_score:

@@ -62,6 +62,8 @@ def _pad_batch(gap_indices, per_gap, readsets, R, L):
     rlen = np.zeros((G, R), np.int32)
     nreads = np.zeros(G, np.int32)
     for i, g in enumerate(gap_indices):
+        if g < 0:
+            continue  # padding slot
         rows = per_gap[g][:R]
         nreads[i] = len(rows)
         for j, (li, side, row) in enumerate(rows):
@@ -100,19 +102,27 @@ def _restack(contig_store, batch):
     return assemble.GapContigs(seq=seq, length=lens, count=cnt, names=names)
 
 
+# coarse read-count buckets -> (reads bucket, max-distinct-kmer bound);
+# few distinct shapes keep the jit cache warm across batches
+_BUCKETS = ((1 << 6, 1 << 12), (1 << 9, 1 << 13), (1 << 12, 1 << 14),
+            (1 << 15, 1 << 16))
+
+
 def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg):
     """Assemble + refine contigs for the given gaps (bucketed)."""
     buckets: dict[int, list[int]] = {}
     for g in gap_list:
-        R = 1 << max(4, (max(len(per_gap[g]), 1) - 1).bit_length())
+        n = max(len(per_gap[g]), 1)
+        R = next((r for r, _ in _BUCKETS if n <= r), _BUCKETS[-1][0])
         buckets.setdefault(R, []).append(g)
+    md_of = dict(_BUCKETS)
     for R, gl in sorted(buckets.items()):
         for lo in range(0, len(gl), 16):
             batch = gl[lo:lo + 16]
-            seq, rlen, nreads = _pad_batch(batch, per_gap, readsets, R, L)
-            md = min(1 << 14, max(1 << 10, 4 * R * L // 2))
+            padded = batch + [-1] * (16 - len(batch))  # fixed G shape
+            seq, rlen, nreads = _pad_batch(padded, per_gap, readsets, R, L)
             contigs = assemble.assemble_gap_batch(
-                cfg, seq, rlen, nreads, max_distinct=md)
+                cfg, seq, rlen, nreads, max_distinct=md_of[R])
             for i, g in enumerate(batch):
                 raw = [np.asarray(contigs.seq[i][j][:int(contigs.length[i][j])])
                        for j in range(int(contigs.count[i]))]
