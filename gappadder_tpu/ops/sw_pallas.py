@@ -45,29 +45,33 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+NEG16 = -(1 << 14)   # python int: weak-typed arithmetic keeps int16
+
+
 def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
             score_ref, qend_ref, tend_ref,
-            hm1_s, hm2_s, e_s, f_s, best_s,
+            hm1_s, hm2_s, e_s, f_s, bs_s, bd_s,
             *, params: SWParams, mode: str, S: int, n_chunks: int,
             end_slack: int):
     TB = qlen_ref.shape[1]
     c = pl.program_id(1)
-    go, ge = params.gap_open, params.gap_extend
+    go, ge = jnp.int16(params.gap_open), jnp.int16(params.gap_extend)
 
-    qlen = qlen_ref[0:1, :]                       # [1, TB]
+    qlen = qlen_ref[0:1, :]                       # [1, TB] int16
     tlen = tlen_ref[0:1, :]
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, TB), 0)  # i index
-    qreg = qreg_ref[:]                            # [S, TB] codes
+    row = jax.lax.broadcasted_iota(jnp.int16, (S, TB), 0)  # i index
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (S, TB), 0)
+    qreg = qreg_ref[:]                            # [S, TB] int16 codes
 
     free_ends = mode in ("local", "overlap")
     clamp = mode == "local"
     zrow = qlen * 0                               # [1, TB] varying zero
-    col0 = zrow if free_ends else zrow + NEG
+    col0 = zrow if free_ends else zrow + NEG16
 
-    def row0(d):
+    def row0(d16):
         if free_ends:
-            return jnp.where(d <= tlen, 0, NEG)
-        return zrow + NEG
+            return jnp.where(d16 <= tlen, jnp.int16(0), NEG16) + zrow
+        return zrow + NEG16
 
     def shift(x, fill):
         r = pltpu.roll(x, 1, 0)
@@ -76,85 +80,87 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     # ---- chunk start: init or reload carried state ----------------------
     @pl.when(c == 0)
     def _():
-        hm2 = jnp.where(row == 0, 0, NEG) + zrow          # diag d=0
-        hm1 = jnp.where(row == 0, row0(jnp.ones_like(tlen)), NEG + zrow)
+        hm2 = jnp.where(row == 0, jnp.int16(0), NEG16) + zrow    # diag d=0
+        hm1 = jnp.where(row == 0, row0(jnp.ones_like(tlen)), NEG16 + zrow)
         hm1 = jnp.where((row == 1) & (qlen >= 1), col0, hm1)
         hm2_s[:] = hm2
         hm1_s[:] = hm1
-        e_s[:] = zrow + jnp.full((S, TB), NEG, jnp.int32)
-        f_s[:] = zrow + jnp.full((S, TB), NEG, jnp.int32)
-        best_s[:] = jnp.concatenate(
-            [zrow + NEG, zrow, zrow,
-             jnp.broadcast_to(zrow, (5, TB))], axis=0)
+        e_s[:] = (row * 0 + zrow) + NEG16
+        f_s[:] = (row * 0 + zrow) + NEG16
+        bs_s[:] = (row * 0 + zrow) + NEG16
+        bd_s[:] = row * 0 + zrow
 
     Hm2 = hm2_s[:]
     Hm1 = hm1_s[:]
     Em1 = e_s[:]
     Fm1 = f_s[:]
-    bs = best_s[0:1, :]
-    bi = best_s[1:2, :]
-    bd = best_s[2:3, :]
-    rbuf = rbuf_ref[0]                            # [2S, TB]
+    bs = bs_s[:]                                  # [S, TB] per-row best
+    bd = bd_s[:]                                  # [S, TB] its diagonal
+    rbuf = rbuf_ref[0]                            # [2S, TB] int16
+
+    match16 = jnp.int16(params.match)
+    mism16 = jnp.int16(params.mismatch)
 
     def body(s, carry):
-        Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd = carry
-        d = c * S + s + 2
+        Hm2, Hm1, Em1, Fm1, rbuf, bs, bd = carry
+        d16 = (c * S + s + 2).astype(jnp.int16)
         rbuf = pltpu.roll(rbuf, 1, 0)
         tr = jax.lax.slice_in_dim(rbuf, S, 2 * S, axis=0)  # [S, TB]
 
-        E = jnp.maximum(Hm1 - go, Em1 - ge)
-        F = jnp.maximum(shift(Hm1, NEG + zrow) - go,
-                        shift(Fm1, NEG + zrow) - ge)
-        sc = jnp.where((qreg == tr) & (qreg < 4),
-                       jnp.int32(params.match), jnp.int32(params.mismatch))
-        H = jnp.maximum(shift(Hm2, NEG + zrow) + sc, jnp.maximum(E, F))
+        E = jnp.maximum(jnp.maximum(Hm1 - go, Em1 - ge), NEG16)
+        F = jnp.maximum(jnp.maximum(shift(Hm1, NEG16 + zrow) - go,
+                                    shift(Fm1, NEG16 + zrow) - ge), NEG16)
+        sc = jnp.where((qreg == tr) & (qreg < 4), match16, mism16)
+        H = jnp.maximum(shift(Hm2, NEG16 + zrow) + sc, jnp.maximum(E, F))
         if clamp:
-            H = jnp.maximum(H, 0)
+            H = jnp.maximum(H, jnp.int16(0))
 
-        j = d - row
+        j = d16 - row
         valid = (row >= 1) & (row <= qlen) & (j >= 1) & (j <= tlen)
-        H = jnp.where(valid, H, NEG)
-        E = jnp.where(valid, E, NEG)
-        F = jnp.where(valid, F, NEG)
-        H = jnp.where(row == 0, row0(d * jnp.ones_like(tlen)), H)
-        H = jnp.where((row == d) & (row <= qlen), col0, H)
+        H = jnp.where(valid, H, NEG16)
+        E = jnp.where(valid, E, NEG16)
+        F = jnp.where(valid, F, NEG16)
+        H = jnp.where(row == 0, row0(d16 * jnp.ones_like(tlen)), H)
+        H = jnp.where((row == d16) & (row <= qlen), col0, H)
 
         if mode == "overlap":
-            endcell = valid & ((row >= qlen - end_slack) |
-                               (j >= tlen - end_slack))
-            cand = jnp.where(endcell, H, NEG)
+            endcell = valid & ((row >= qlen - jnp.int16(end_slack)) |
+                               (j >= tlen - jnp.int16(end_slack)))
+            cand = jnp.where(endcell, H, NEG16)
         else:
-            cand = jnp.where(valid, H, NEG)
-        m = jnp.max(cand, axis=0, keepdims=True)            # [1, TB]
-        am = jnp.argmax(cand.astype(jnp.float32), axis=0)
-        am = am.astype(jnp.int32)[None, :]
-        upd = m > bs
-        bs = jnp.where(upd, m, bs)
-        bi = jnp.where(upd, am, bi)
-        bd = jnp.where(upd, d, bd)
-        return (Hm1, H, E, F, rbuf, bs, bi, bd)
+            cand = jnp.where(valid, H, NEG16)
+        upd = cand > bs
+        bs = jnp.where(upd, cand, bs)
+        bd = jnp.where(upd, d16 + zrow, bd)
+        return (Hm1, H, E, F, rbuf, bs, bd)
 
-    carry = (Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd)
-    Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd = jax.lax.fori_loop(
+    carry = (Hm2, Hm1, Em1, Fm1, rbuf, bs, bd)
+    Hm2, Hm1, Em1, Fm1, rbuf, bs, bd = jax.lax.fori_loop(
         0, S, body, carry)
 
     hm2_s[:] = Hm2
     hm1_s[:] = Hm1
     e_s[:] = Em1
     f_s[:] = Fm1
-    best_s[0:1, :] = bs
-    best_s[1:2, :] = bi
-    best_s[2:3, :] = bd
+    bs_s[:] = bs
+    bd_s[:] = bd
 
     @pl.when(c == n_chunks - 1)
     def _():
-        empty = bs < 0
+        # final reduction: lowest row among maxima, then its diagonal
+        bs32 = bs.astype(jnp.int32)
+        score = jnp.max(bs32, axis=0, keepdims=True)        # [1, TB]
+        bi = jnp.argmax(bs32.astype(jnp.float32), axis=0)
+        bi = bi.astype(jnp.int32)[None, :]
+        bdw = jnp.max(jnp.where(rows32 == bi, bd.astype(jnp.int32), -1),
+                      axis=0, keepdims=True)
+        empty = score < 0
         # negative best: oracle falls back to H[qlen, 0] = 0 for
         # overlap (free leading gap) and the (0, 0) origin otherwise
-        fb_q = qlen if mode == "overlap" else zrow
-        score_ref[:] = jnp.where(empty, 0, bs)
+        fb_q = qlen.astype(jnp.int32) if mode == "overlap" else score * 0
+        score_ref[:] = jnp.where(empty, 0, score)
         qend_ref[:] = jnp.where(empty, fb_q, bi)
-        tend_ref[:] = jnp.where(empty, 0, bd - bi)
+        tend_ref[:] = jnp.where(empty, 0, bdw - bi)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "mode", "batch_tile",
@@ -176,18 +182,20 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
 
     B, Lq = q.shape
     Lt = t.shape[1]
-    S = _round_up(Lq + 1, 8)
+    # int16 scores/diagonals: stay well inside the int16 range
+    assert Lq + Lt + 2 < (1 << 14), "sequences too long for int16 kernel"
+    S = _round_up(Lq + 1, 16)              # int16 sublane tile is 16
     steps = Lq + Lt - 1                    # d = 2 .. Lq+Lt
     n_chunks = -(-steps // S)
     TB = 128
     Bp = _round_up(max(B, 1), TB)
     nbt = Bp // TB
 
-    q32 = q.astype(jnp.int32)
-    t32 = t.astype(jnp.int32)
+    q16 = q.astype(jnp.int16)
+    t16 = t.astype(jnp.int16)
     # qreg [S, Bp]: row i holds q[b, i-1], row 0 sentinel
-    qreg = jnp.full((S, Bp), 127, jnp.int32)
-    qreg = qreg.at[1:Lq + 1, :B].set(q32.T)
+    qreg = jnp.full((S, Bp), 127, jnp.int16)
+    qreg = qreg.at[1:Lq + 1, :B].set(q16.T)
     # rbuf windows [n_chunks, 2S, Bp]: rbuf[c, u, b] = t_b[(c+1)S - u]
     # (the kernel rolls BEFORE reading, so after s+1 rolls row S+i holds
     # rbuf0[S+i-s-1] = t[(c+1)S - (S+i-s-1)] = t[cS+s+1-i] = t[d-1-i])
@@ -197,38 +205,42 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     okpos = (tpos >= 0) & (tpos < Lt)
     tp = jnp.where(okpos, tpos, 0)
     rbuf = jnp.where(okpos[..., None],
-                     jnp.take(t32, tp, axis=1).transpose(1, 2, 0), 127)
+                     jnp.take(t16, tp, axis=1).transpose(1, 2, 0),
+                     jnp.int16(127))
     rbuf = jnp.concatenate(
-        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 127, jnp.int32)], axis=2)
+        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 127, jnp.int16)], axis=2)
 
-    qlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(qlen.astype(jnp.int32))
-    tlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(tlen.astype(jnp.int32))
+    qlp = jnp.zeros((1, Bp), jnp.int16).at[0, :B].set(qlen.astype(jnp.int16))
+    tlp = jnp.zeros((1, Bp), jnp.int16).at[0, :B].set(tlen.astype(jnp.int16))
 
     grid = (nbt, n_chunks)
     kernel = functools.partial(_kernel, params=params, mode=mode, S=S,
                                n_chunks=n_chunks, end_slack=end_slack)
     out_shape = [jax.ShapeDtypeStruct((1, Bp), jnp.int32)] * 3
-    lane_spec = pl.BlockSpec((1, TB), lambda i, c: (0, i),
-                             memory_space=pltpu.VMEM)
+    lane_spec16 = pl.BlockSpec((1, TB), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM)
+    lane_spec32 = pl.BlockSpec((1, TB), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM)
     score, qend, tend = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
         in_specs=[
-            lane_spec,                                    # qlen
-            lane_spec,                                    # tlen
+            lane_spec16,                                  # qlen
+            lane_spec16,                                  # tlen
             pl.BlockSpec((S, TB), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),        # qreg
             pl.BlockSpec((1, 2 * S, TB), lambda i, c: (c, 0, i),
                          memory_space=pltpu.VMEM),        # rbuf chunk
         ],
-        out_specs=[lane_spec] * 3,
+        out_specs=[lane_spec32] * 3,
         scratch_shapes=[
-            pltpu.VMEM((S, TB), jnp.int32),   # Hm1
-            pltpu.VMEM((S, TB), jnp.int32),   # Hm2
-            pltpu.VMEM((S, TB), jnp.int32),   # E
-            pltpu.VMEM((S, TB), jnp.int32),   # F
-            pltpu.VMEM((8, TB), jnp.int32),   # best (rows 0..2)
+            pltpu.VMEM((S, TB), jnp.int16),   # Hm1
+            pltpu.VMEM((S, TB), jnp.int16),   # Hm2
+            pltpu.VMEM((S, TB), jnp.int16),   # E
+            pltpu.VMEM((S, TB), jnp.int16),   # F
+            pltpu.VMEM((S, TB), jnp.int16),   # best score per row
+            pltpu.VMEM((S, TB), jnp.int16),   # best diag per row
         ],
         interpret=interpret,
     )(qlp, tlp, qreg, rbuf)
