@@ -58,6 +58,8 @@ class Config:
     high_quality_mapq: int = 60      # run_multi_threads_discordant.py:476
     discordant_window: tuple[int, int] = (200, 300)  # collect_discordant_low_mapq_reads.py:21-25
     min_contig_len: int = 40         # velvetg -min_contig_lgth 40
+    min_kmer_count: int = 0          # kmc -ci equivalent; -1 = adaptive
+                                     # error filter (see assemble.py)
     pick_min_score_round1: int = 30  # assemble_gaps.py:336
     pick_min_score_final: int = 15   # assemble_gaps.py:365
     dedup_cutoff: float = 0.99       # MergeContigs.py:73-99

@@ -211,7 +211,29 @@ def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
     chain_nodes = jnp.zeros(N + 1, jnp.int32).at[
         jnp.where(node_valid, rep, N)].max(off + 1, mode="drop")
     ulen_all = jnp.where(new_head, sub_k + chain_nodes[:N] - 1, -1)
-    eligible = new_head & (ulen_all >= min_len)
+
+    # Velvet-style tip clipping: a SHORT chain (< 2*(sub_k+1), Velvet's
+    # default max tip length 2k) that dangles dead at one end AND whose
+    # attached junction has an ALTERNATIVE continuation is a
+    # sequencing-error spur. A dead end with no competing branch is a
+    # legitimate sequence end and is kept.
+    tail_of = jnp.full(N + 1, -1, jnp.int32).at[
+        jnp.where(node_valid & (off == chain_nodes[rep] - 1), rep, N)
+    ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")[:N]
+    head_dead = indeg[:N] == 0
+    tailc = jnp.clip(tail_of, 0, N - 1)
+    tail_dead = jnp.where(tail_of >= 0, outdeg[tailc] == 0, True)
+    # per-node: does any predecessor have outdeg>=2 / any successor
+    # have indeg>=2 (an alternative branch at the junction)?
+    pred_branch = jnp.zeros(N + 1, jnp.int32).at[v_id].max(
+        outdeg[u_id], mode="drop")[:N] >= 2
+    succ_branch = jnp.zeros(N + 1, jnp.int32).at[u_id].max(
+        indeg[v_id], mode="drop")[:N] >= 2
+    tip_a = head_dead & ~tail_dead & succ_branch[tailc] & (tail_of >= 0)
+    tip_b = ~head_dead & tail_dead & pred_branch
+    is_tip = new_head & (tip_a | tip_b) & (ulen_all < 2 * (sub_k + 1))
+
+    eligible = new_head & (ulen_all >= min_len) & ~is_tip
     sort_key = jnp.where(eligible, -ulen_all, 1)
     order = jnp.argsort(sort_key, stable=True)          # longest first
     top = order[:max_unitigs]

@@ -59,7 +59,7 @@ class MergeConfig:
     min_support_kmer: int = 1       # -m
     window: int = 1000              # quick-check end-window size
     max_paths_per_gap: int = 32
-    max_path_nodes: int = 8
+    max_path_nodes: int = 64
     dedup_cutoff: float = 0.99      # MergeContigs.py:73-99
 
 
@@ -85,8 +85,15 @@ def _sketch(seq: np.ndarray, k: int) -> np.ndarray:
 
 
 def _shared_kmers(sk_a: np.ndarray, sk_b: np.ndarray) -> int:
-    return int(np.sum([bin(int(x)).count("1")
-                       for x in (sk_a & sk_b)]))
+    inter = (sk_a & sk_b).view(np.uint8)
+    return int(np.unpackbits(inter).sum())
+
+
+def _shared_matrix(sk_a: np.ndarray, sk_b: np.ndarray) -> np.ndarray:
+    """Pairwise shared-bit counts: [A, W]uint32 x [B, W] -> [A, B]."""
+    abits = np.unpackbits(sk_a.view(np.uint8), axis=1).astype(np.int32)
+    bbits = np.unpackbits(sk_b.view(np.uint8), axis=1).astype(np.int32)
+    return abits @ bbits.T
 
 
 def _sw_batch_np(queries, targets, mode, params, end_slack=0):
@@ -110,23 +117,17 @@ def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
             keep[i] = False
         else:
             seen[key] = i
-    # sketch-pruned near-dup / containment
-    sketches = [_sketch(c, cfg.kmer_len) for c in contigs]
-    pairs = []
-    for i in range(n):
-        if not keep[i]:
-            continue
-        for j in range(n):
-            if i == j or not keep[j]:
-                continue
-            # candidate: i potentially contained in / dup of j
-            if len(contigs[i]) > len(contigs[j]):
-                continue
-            inter = _shared_kmers(sketches[i], sketches[j])
-            need = max(1, int(0.5 * min(
-                len(contigs[i]), cfg.window) - cfg.kmer_len))
-            if inter >= min(need, 32):
-                pairs.append((i, j))
+    # sketch-pruned near-dup / containment (vectorized pair screen)
+    sketches = np.stack([_sketch(c, cfg.kmer_len) for c in contigs])
+    shared = _shared_matrix(sketches, sketches)
+    lens = np.array([len(c) for c in contigs])
+    keep_arr = np.array(keep)
+    need = np.minimum(np.maximum(
+        (0.5 * np.minimum(lens, cfg.window) - cfg.kmer_len), 1), 32)
+    cand = (shared >= need[:, None]) & keep_arr[:, None] & keep_arr[None, :] \
+        & (lens[:, None] <= lens[None, :]) & \
+        ~np.eye(n, dtype=bool)
+    pairs = [(int(i), int(j)) for i, j in zip(*np.nonzero(cand))]
     if pairs:
         qs = [contigs[i] for i, _ in pairs]
         ts = [contigs[j] for _, j in pairs]
@@ -187,16 +188,12 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     nodes = list(contigs) + [dna.revcomp(c) for c in contigs]
     N = len(nodes)
     k = cfg.kmer_len
-    heads = [_sketch(s[:cfg.window], k) for s in nodes]
-    tails = [_sketch(s[-cfg.window:], k) for s in nodes]
-
-    cand = []
-    for a in range(N):
-        for b in range(N):
-            if a == b or (a % n) == (b % n):
-                continue
-            if _shared_kmers(tails[a], heads[b]) >= cfg.min_support_kmer:
-                cand.append((a, b))
+    heads = np.stack([_sketch(s[:cfg.window], k) for s in nodes])
+    tails = np.stack([_sketch(s[-cfg.window:], k) for s in nodes])
+    shared = _shared_matrix(tails, heads)
+    same = np.arange(N)[:, None] % n == np.arange(N)[None, :] % n
+    cmat = (shared >= cfg.min_support_kmer) & ~same
+    cand = [(int(a), int(b)) for a, b in zip(*np.nonzero(cmat))]
     if not cand:
         return [], []
 
@@ -205,23 +202,37 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     s, qe, te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
                              end_slack=cfg.max_clip_len)
 
-    edges = {}
+    raw_edges = {}
     for (a, b), sc, q_e, t_e in zip(cand, s, qe, te):
         sig = _significant(int(sc), len(nodes[a]), len(nodes[b]),
                            int(q_e), int(t_e), cfg)
         if sig is None:
             continue
         mode, ov = sig
-        if mode == "12":
-            # splice point: qstart of the overlap path on A
-            qstart, _, _ = sw_host.alignment_stats(
-                nodes[a], nodes[b], MERGE_PARAMS, "overlap",
-                int(q_e), int(t_e))
-            edges[(a, b)] = (ov, qstart)
-        else:
-            tstart = sw_host.traceback(nodes[a], nodes[b], MERGE_PARAMS,
-                                       "overlap", int(q_e), int(t_e))[1]
-            edges[(b, a)] = (ov, tstart)
+        key = (a, b) if mode == "12" else (b, a)
+        if key not in raw_edges or ov > raw_edges[key][0]:
+            raw_edges[key] = (ov, mode, int(q_e), int(t_e), a, b)
+    if not raw_edges:
+        return [], []
+
+    # keep only the best few outgoing edges per node before paying for
+    # host tracebacks (fragmented inputs otherwise create dense graphs)
+    by_src: dict[int, list] = {}
+    for (u, v), info in raw_edges.items():
+        by_src.setdefault(u, []).append((info[0], v, info))
+    edges = {}
+    MAX_OUT = 4
+    for u, lst in by_src.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for ov, v, (o, mode, q_e, t_e, a, b) in lst[:MAX_OUT]:
+            if mode == "12":
+                qstart, _, _ = sw_host.alignment_stats(
+                    nodes[a], nodes[b], MERGE_PARAMS, "overlap", q_e, t_e)
+                edges[(u, v)] = (o, qstart)
+            else:
+                tstart = sw_host.traceback(nodes[a], nodes[b], MERGE_PARAMS,
+                                           "overlap", q_e, t_e)[1]
+                edges[(u, v)] = (o, tstart)
 
     if not edges:
         return [], []
@@ -258,31 +269,38 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
         edges.pop(e, None)
         adj[e[0]].remove(e[1])
 
+    # longest-path DP over the DAG (linear; per-node best predecessor —
+    # the practical outcome of the reference's top-k-longest
+    # FindSimplePathsTopSort on per-gap-sized graphs)
     indeg = {v: 0 for v in range(N)}
     for (a, b) in edges:
         indeg[b] += 1
-    sources = [v for v in range(N)
-               if indeg[v] == 0 and adj.get(v)]
-    paths = []
+    from collections import deque
+    dq = deque(v for v in range(N) if indeg[v] == 0)
+    topo = []
+    indeg2 = dict(indeg)
+    while dq:
+        u = dq.popleft()
+        topo.append(u)
+        for v in adj.get(u, ()):
+            indeg2[v] -= 1
+            if indeg2[v] == 0:
+                dq.append(v)
 
-    cap = 4 * cfg.max_paths_per_gap
+    bestlen = {v: len(nodes[v]) for v in range(N)}
+    parent: dict[int, int | None] = {v: None for v in range(N)}
+    nhops = {v: 1 for v in range(N)}
+    for u in topo:
+        for v in adj.get(u, ()):
+            _, qstart = edges[(u, v)]
+            cand_len = bestlen[u] - len(nodes[u]) + qstart + len(nodes[v])
+            if cand_len > bestlen[v] and nhops[u] < cfg.max_path_nodes:
+                bestlen[v] = cand_len
+                parent[v] = u
+                nhops[v] = nhops[u] + 1
 
-    def extend_path(path):
-        if len(paths) > cap:
-            return
-        u = path[-1]
-        nxt = [v for v in adj.get(u, ()) if v not in path]
-        if not nxt or len(path) >= cfg.max_path_nodes:
-            if len(path) > 1:
-                paths.append(list(path))
-            return
-        for v in nxt:
-            extend_path(path + [v])
-
-    for src in sources:
-        extend_path([src])
-        if len(paths) > cap:
-            break
+    sinks = sorted((v for v in range(N) if parent[v] is not None),
+                   key=lambda v: (-bestlen[v], v))
 
     def splice(p):
         """Merged sequence: at each edge keep the upstream prefix up to
@@ -295,21 +313,22 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
             seq = np.concatenate([seq[:offset + qstart], nodes[b]])
         return seq
 
-    def path_len(p):
-        total = len(nodes[p[0]])
-        for a, b in zip(p, p[1:]):
-            _, qstart = edges[(a, b)]
-            total = total - len(nodes[a]) + qstart + len(nodes[b])
-        return total
-
-    paths.sort(key=lambda p: (-path_len(p), p))
-    merged, infos, seen = [], [], set()
-    for p in paths[: cfg.max_paths_per_gap]:
-        seq = splice(p)
+    merged, infos, seen, used_head = [], [], set(), set()
+    for v in sinks:
+        if len(merged) >= cfg.max_paths_per_gap:
+            break
+        path = [v]
+        while parent[path[-1]] is not None:
+            path.append(parent[path[-1]])
+        path.reverse()
+        if path[0] in used_head:  # sub-path of an already-emitted chain
+            continue
+        used_head.add(path[0])
+        seq = splice(path)
         key = min(seq.tobytes(), dna.revcomp(seq).tobytes())
         if key in seen:      # RemoveDupRevCompPaths
             continue
         seen.add(key)
         merged.append(seq)
-        infos.append(p)
+        infos.append(path)
     return merged, infos

@@ -37,8 +37,9 @@ class GapContigs:
 
 
 def gap_distinct_kmers(reads, read_len, n_reads, k: int,
-                       max_distinct: int, read_chunk: int = 512):
-    """Distinct canonical k-mers of each gap's read set.
+                       max_distinct: int, read_chunk: int = 512,
+                       min_count: int = 0):
+    """Distinct canonical k-mers of each gap's read set, with counts.
 
     Args:
       reads: int8 [G, R, L] padded read codes.
@@ -46,6 +47,11 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
       n_reads: int32 [G] valid rows.
       max_distinct: static bound M on distinct k-mers per gap (overflow
         drops the lexicographically largest k-mers).
+      min_count: 0 keeps everything (the reference's `kmc -ci0`,
+        assemble_gaps.py:96-102); -1 = adaptive: when a gap's median
+        k-mer multiplicity is >= 4, singleton k-mers (mostly sequencing
+        errors) are dropped — a coverage-aware error filter standing in
+        for Velvet's tour-bus.
 
     Returns:
       kstrings: int8 [G, M, k]; n_kstrings: int32 [G].
@@ -56,6 +62,7 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         reads = np.concatenate([np.asarray(reads), pad], axis=2)
         L = k
     acc = jnp.full((G, max_distinct, kmers.num_limbs(k)), FULL, jnp.uint32)
+    cnt = jnp.zeros((G, max_distinct), jnp.int32)
     row_idx = jnp.arange(R)
     reads_j = jnp.asarray(reads)
     rlen_j = jnp.asarray(read_len, jnp.int32)
@@ -65,35 +72,72 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         chunk = reads_j[:, lo:hi]
         clen = jnp.where((row_idx[lo:hi][None, :] < nr_j[:, None]),
                          rlen_j[:, lo:hi], 0)
-        acc = _merge_chunk(chunk, clen, acc, k)
+        acc, cnt = _merge_chunk(chunk, clen, acc, cnt, k)
+
     distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+    if min_count == -1:
+        counts = jnp.where(distinct, cnt, 0)
+        # instance-weighted mean multiplicity (the average coverage of a
+        # random k-mer OCCURRENCE): error singletons can dominate the
+        # plain median, but contribute almost nothing here
+        inst = jnp.sum(counts.astype(jnp.int64), axis=-1)
+        inst2 = jnp.sum((counts.astype(jnp.int64)) ** 2, axis=-1)
+        mean_inst = inst2 / jnp.maximum(inst, 1)
+        drop = (mean_inst >= 4)[:, None] & (cnt < 2)
+        distinct = distinct & ~drop
+        acc = jnp.where(distinct[..., None], acc, jnp.uint32(FULL))
+        acc, _ = kmers.sort_kmers(acc)
+        distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+    elif min_count > 1:
+        keep = distinct & (cnt >= min_count)
+        acc = jnp.where(keep[..., None], acc, jnp.uint32(FULL))
+        acc, _ = kmers.sort_kmers(acc)
+        distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+
     n = jnp.sum(distinct, axis=-1).astype(jnp.int32)
     kstr = dbg.unpack_kmers_to_strings(acc, k)
     return np.asarray(kstr), np.asarray(n)
 
 
 @jax.jit
-def _merge_chunk_impl(acc, limbs_valid):
+def _merge_chunk_impl(acc, acc_cnt, limbs_new, cnt_new):
     G, M, nl = acc.shape
-    both = jnp.concatenate([acc, limbs_valid], axis=1)
-    s, _ = kmers.sort_kmers(both)
+    both = jnp.concatenate([acc, limbs_new], axis=1)
+    cnts = jnp.concatenate([acc_cnt, cnt_new], axis=1)
+    ops = [both[..., l] for l in range(nl)] + [cnts]
+    res = jax.lax.sort(tuple(ops), dimension=1, num_keys=nl)
+    s = jnp.stack(res[:nl], axis=-1)
+    scnt = res[nl]
     first = kmers.unique_mask(s)
     keep = first & ~jnp.all(s == jnp.uint32(FULL), axis=-1)
+    # segment-sum counts of equal keys: total prefix sums at run starts
+    csum = jnp.cumsum(scnt, axis=-1)
+    P = s.shape[1]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    nxt = kmers._next_first(first)
+    zero = jnp.zeros_like(csum[..., :1])
+    c0 = jnp.concatenate([zero, csum], axis=-1)
+    seg = jnp.take_along_axis(c0, nxt, axis=-1) - \
+        jnp.take_along_axis(c0, jnp.where(first, idx[None, :], 0), axis=-1)
+    seg = jnp.where(keep, seg, 0)
     order = jnp.argsort(~keep, axis=-1, stable=True)
     merged = jnp.take_along_axis(s, order[..., None], axis=-2)
+    mcnt = jnp.take_along_axis(seg, order, axis=-1)
     n = jnp.sum(keep, axis=-1)
-    merged = jnp.where((jnp.arange(merged.shape[1]) < n[:, None])[..., None],
-                       merged, jnp.uint32(FULL))
-    return merged[:, :M]
+    inb = (jnp.arange(merged.shape[1]) < n[:, None])
+    merged = jnp.where(inb[..., None], merged, jnp.uint32(FULL))
+    mcnt = jnp.where(inb, mcnt, 0)
+    return merged[:, :M], mcnt[:, :M]
 
 
-def _merge_chunk(chunk, clen, acc, k):
+def _merge_chunk(chunk, clen, acc, acc_cnt, k):
     limbs, valid = kmers.extract_kmers(chunk, clen, k)   # [G, Rc, P, nl]
     limbs = kmers.canonicalize(limbs, k)
     limbs = jnp.where(valid[..., None], limbs, jnp.uint32(FULL))
     G = limbs.shape[0]
     flat = limbs.reshape(G, -1, limbs.shape[-1])
-    return _merge_chunk_impl(acc, flat)
+    ones = jnp.where(valid.reshape(G, -1), 1, 0).astype(jnp.int32)
+    return _merge_chunk_impl(acc, acc_cnt, flat, ones)
 
 
 def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
@@ -105,7 +149,8 @@ def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
     seqs, lens, counts, names = [], [], [], [[] for _ in range(G)]
     for (k, sub_k) in cfg.kmers:
         kstr, nk = gap_distinct_kmers(reads, read_len, n_reads, k,
-                                      max_distinct)
+                                      max_distinct,
+                                      min_count=cfg.min_kmer_count)
         useq, ulen, ucnt = dbg.assemble_unitigs(
             jnp.asarray(kstr), jnp.asarray(nk), k=k, sub_k=sub_k,
             max_unitigs=max_unitigs_per_setting, max_len=max_contig_len,

@@ -37,11 +37,24 @@ def _align_one(a, b, gaps):
     return a, [("M", L)]
 
 
+def _mutate(seq: str, err_rate: float, rng) -> str:
+    if err_rate <= 0:
+        return seq
+    arr = dna.encode(seq).copy()
+    errs = np.nonzero(rng.random(len(arr)) < err_rate)[0]
+    for p in errs:
+        arr[p] = (arr[p] + rng.integers(1, 4)) % 4
+    return dna.decode(arr)
+
+
 def simulate(truth: str, gap_spans, n_pairs: int, rng,
-             read_len: int = 100, insert: int = 300, std: int = 30):
+             read_len: int = 100, insert: int = 300, std: int = 30,
+             err_rate: float = 0.0):
     """Returns (bam_records, left_fastq_entries, right_fastq_entries).
 
-    fastq entries: list of (name, seq_string).
+    fastq entries: list of (name, seq_string). err_rate adds uniform
+    substitution errors to the read sequences (alignment positions are
+    kept — mimicking a mapper tolerating ~1% mismatches).
     """
     T = dna.encode(truth)
     L = len(T)
@@ -52,8 +65,8 @@ def simulate(truth: str, gap_spans, n_pairs: int, rng,
         p = int(rng.integers(0, L - ins))
         a1, b1 = p, p + read_len
         a2, b2 = p + ins - read_len, p + ins
-        seq1 = dna.decode(T[a1:b1])
-        seq2 = dna.decode(dna.revcomp(T[a2:b2]))
+        seq1 = _mutate(dna.decode(T[a1:b1]), err_rate, rng)
+        seq2 = _mutate(dna.decode(dna.revcomp(T[a2:b2])), err_rate, rng)
         name = f"p{i}"
         left_fq.append((name + "/1", seq1))
         right_fq.append((name + "/2", seq2))

@@ -14,7 +14,8 @@ import read_simulator
 
 
 def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500,
-           gap_pos=None, insert=300, std=30):
+           gap_pos=None, insert=300, std=30, err_rate=0.0,
+           min_kmer_count=0):
     truth = "".join(np.array(list("ACGT"))[rng.integers(0, 4, L)])
     gs = (L // 2 - gap_len // 2) if gap_pos is None else gap_pos
     ge = gs + gap_len
@@ -24,12 +25,12 @@ def _setup(tmp_path, rng, gap_len=150, L=2400, n_pairs=500,
 
     bam, lfq, rfq = read_simulator.write_library(
         tmp_path, "lib", truth, [(gs, ge)], n_pairs, rng,
-        read_len=100, insert=insert, std=std)
+        read_len=100, insert=insert, std=std, err_rate=err_rate)
 
     cfg = Config(
         draft_genome=draft_path, min_gap_size=50, flank_length=150,
         working_folder=str(tmp_path / "work"),
-        kmers=((25, 21), (31, 27)),
+        kmers=((25, 21), (31, 27)), min_kmer_count=min_kmer_count,
         libraries=(Library(bam=bam, insert_size=insert, std=std,
                            left_fq=lfq, right_fq=rfq),),
         tpu=__import__("gappadder_tpu.config", fromlist=["TpuParams"])
@@ -59,6 +60,24 @@ def test_close_single_gap(tmp_path, rng):
     recs = patch.patch_scaffolds(genome, gaps, run.fills_as_codes(fills),
                                  margin=cfg.flank_margin)
     assert dna.decode(recs[0][1]) == truth
+
+
+def test_close_gap_with_sequencing_errors(tmp_path, rng):
+    """0.5% substitution errors; the adaptive k-mer count filter +
+    DBG tip clipping must still recover the exact gap sequence."""
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, n_pairs=700,
+                                  err_rate=0.005, min_kmer_count=-1)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    preprocess.run_preprocess(cfg, ws, genome=genome)
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
+                                               readsets=readsets,
+                                               genome=genome)
+    assert 0 in fills, f"noisy gap not closed (exts={list(exts)})"
+    fill_seq = dna.decode(fills[0][0])
+    want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
+    assert fill_seq == want
 
 
 def test_close_large_gap_needs_rescue(tmp_path, rng):
