@@ -80,9 +80,10 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         # instance-weighted mean multiplicity (the average coverage of a
         # random k-mer OCCURRENCE): error singletons can dominate the
         # plain median, but contribute almost nothing here
-        inst = jnp.sum(counts.astype(jnp.int64), axis=-1)
-        inst2 = jnp.sum((counts.astype(jnp.int64)) ** 2, axis=-1)
-        mean_inst = inst2 / jnp.maximum(inst, 1)
+        cf = counts.astype(jnp.float32)
+        inst = jnp.sum(cf, axis=-1)
+        inst2 = jnp.sum(cf * cf, axis=-1)
+        mean_inst = inst2 / jnp.maximum(inst, 1.0)
         drop = (mean_inst >= 4)[:, None] & (cnt < 2)
         distinct = distinct & ~drop
         acc = jnp.where(distinct[..., None], acc, jnp.uint32(FULL))
