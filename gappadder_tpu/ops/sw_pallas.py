@@ -73,8 +73,14 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
             return jnp.where(d16 <= tlen, jnp.int16(0), NEG16) + zrow
         return zrow + NEG16
 
+    def roll1(x):
+        # circular sublane shift by 1; pltpu.roll lacks int16 support
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(x, x.shape[0] - 1, x.shape[0], axis=0),
+             jax.lax.slice_in_dim(x, 0, x.shape[0] - 1, axis=0)], axis=0)
+
     def shift(x, fill):
-        r = pltpu.roll(x, 1, 0)
+        r = roll1(x)
         return jnp.where(row == 0, fill, r)
 
     # ---- chunk start: init or reload carried state ----------------------
@@ -104,7 +110,7 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     def body(s, carry):
         Hm2, Hm1, Em1, Fm1, rbuf, bs, bd = carry
         d16 = (c * S + s + 2).astype(jnp.int16)
-        rbuf = pltpu.roll(rbuf, 1, 0)
+        rbuf = roll1(rbuf)
         tr = jax.lax.slice_in_dim(rbuf, S, 2 * S, axis=0)  # [S, TB]
 
         E = jnp.maximum(jnp.maximum(Hm1 - go, Em1 - ge), NEG16)

@@ -291,6 +291,9 @@ def run_collect(cfg: Config, ws: Workspace,
 
     if write_parity_files:
         _write_gap_fastqs(cfg, ws, gaps, rec, readsets)
+        _write_gap_fastqs(cfg, ws, gaps, rec, readsets,
+                          subdir="merged/gap_reads_high_quality",
+                          hq_only=True)
     return rec, readsets
 
 
