@@ -38,14 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sw_host import SWParams
 
-NEG = -(1 << 28)
-
-
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-NEG16 = -(1 << 14)   # python int: weak-typed arithmetic keeps int16
+NEG16 = -(1 << 28)   # python int (weak-typed); name kept from the
+                     # abandoned int16 variant (v5e Mosaic lacks int16
+                     # rotate/iota/compare lowerings)
 
 
 def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
@@ -55,26 +54,26 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
             end_slack: int):
     TB = qlen_ref.shape[1]
     c = pl.program_id(1)
-    go, ge = jnp.int16(params.gap_open), jnp.int16(params.gap_extend)
+    go, ge = jnp.int32(params.gap_open), jnp.int32(params.gap_extend)
 
-    qlen = qlen_ref[0:1, :]                       # [1, TB] int16
+    qlen = qlen_ref[0:1, :]                       # [1, TB]
     tlen = tlen_ref[0:1, :]
-    row = jax.lax.broadcasted_iota(jnp.int16, (S, TB), 0)  # i index
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (S, TB), 0)
-    qreg = qreg_ref[:]                            # [S, TB] int16 codes
+    row = rows32                                  # i index
+    qreg = qreg_ref[:]                            # [S, TB] int32 codes
 
     free_ends = mode in ("local", "overlap")
     clamp = mode == "local"
     zrow = qlen * 0                               # [1, TB] varying zero
     col0 = zrow if free_ends else zrow + NEG16
 
-    def row0(d16):
+    def row0(d32):
         if free_ends:
-            return jnp.where(d16 <= tlen, jnp.int16(0), NEG16) + zrow
+            return jnp.where(d32 <= tlen, 0, NEG16) + zrow
         return zrow + NEG16
 
     def roll1(x):
-        # circular sublane shift by 1; pltpu.roll lacks int16 support
+        # circular sublane shift by 1 via static slices
         return jnp.concatenate(
             [jax.lax.slice_in_dim(x, x.shape[0] - 1, x.shape[0], axis=0),
              jax.lax.slice_in_dim(x, 0, x.shape[0] - 1, axis=0)], axis=0)
@@ -86,9 +85,12 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     # ---- chunk start: init or reload carried state ----------------------
     @pl.when(c == 0)
     def _():
-        hm2 = jnp.where(row == 0, jnp.int16(0), NEG16) + zrow    # diag d=0
+        hm2 = jnp.where(row == 0, 0, NEG16) + zrow    # diag d=0
         hm1 = jnp.where(row == 0, row0(jnp.ones_like(tlen)), NEG16 + zrow)
-        hm1 = jnp.where((row == 1) & (qlen >= 1), col0, hm1)
+        # (qlen + row*0) materializes a fully-varying operand: Mosaic
+        # cannot AND a lane-replicated i1 with a sublane-replicated i1
+        qmask = (qlen + row * 0) >= 1
+        hm1 = jnp.where((row == 1) & qmask, col0, hm1)
         hm2_s[:] = hm2
         hm1_s[:] = hm1
         e_s[:] = (row * 0 + zrow) + NEG16
@@ -102,14 +104,14 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     Fm1 = f_s[:]
     bs = bs_s[:]                                  # [S, TB] per-row best
     bd = bd_s[:]                                  # [S, TB] its diagonal
-    rbuf = rbuf_ref[0]                            # [2S, TB] int16
+    rbuf = rbuf_ref[0]                            # [2S, TB] int32
 
-    match16 = jnp.int16(params.match)
-    mism16 = jnp.int16(params.mismatch)
+    match16 = jnp.int32(params.match)
+    mism16 = jnp.int32(params.mismatch)
 
     def body(s, carry):
         Hm2, Hm1, Em1, Fm1, rbuf, bs, bd = carry
-        d16 = (c * S + s + 2).astype(jnp.int16)
+        d16 = c * S + s + 2
         rbuf = roll1(rbuf)
         tr = jax.lax.slice_in_dim(rbuf, S, 2 * S, axis=0)  # [S, TB]
 
@@ -119,7 +121,7 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
         sc = jnp.where((qreg == tr) & (qreg < 4), match16, mism16)
         H = jnp.maximum(shift(Hm2, NEG16 + zrow) + sc, jnp.maximum(E, F))
         if clamp:
-            H = jnp.maximum(H, jnp.int16(0))
+            H = jnp.maximum(H, 0)
 
         j = d16 - row
         valid = (row >= 1) & (row <= qlen) & (j >= 1) & (j <= tlen)
@@ -130,8 +132,8 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
         H = jnp.where((row == d16) & (row <= qlen), col0, H)
 
         if mode == "overlap":
-            endcell = valid & ((row >= qlen - jnp.int16(end_slack)) |
-                               (j >= tlen - jnp.int16(end_slack)))
+            endcell = valid & ((row >= qlen - end_slack) |
+                               (j >= tlen - end_slack))
             cand = jnp.where(endcell, H, NEG16)
         else:
             cand = jnp.where(valid, H, NEG16)
@@ -154,11 +156,10 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     @pl.when(c == n_chunks - 1)
     def _():
         # final reduction: lowest row among maxima, then its diagonal
-        bs32 = bs.astype(jnp.int32)
-        score = jnp.max(bs32, axis=0, keepdims=True)        # [1, TB]
-        bi = jnp.argmax(bs32.astype(jnp.float32), axis=0)
+        score = jnp.max(bs, axis=0, keepdims=True)          # [1, TB]
+        bi = jnp.argmax(bs.astype(jnp.float32), axis=0)
         bi = bi.astype(jnp.int32)[None, :]
-        bdw = jnp.max(jnp.where(rows32 == bi, bd.astype(jnp.int32), -1),
+        bdw = jnp.max(jnp.where(rows32 == bi, bd, -1),
                       axis=0, keepdims=True)
         empty = score < 0
         # negative best: oracle falls back to H[qlen, 0] = 0 for
@@ -188,19 +189,17 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
 
     B, Lq = q.shape
     Lt = t.shape[1]
-    # int16 scores/diagonals: stay well inside the int16 range
-    assert Lq + Lt + 2 < (1 << 14), "sequences too long for int16 kernel"
-    S = _round_up(Lq + 1, 16)              # int16 sublane tile is 16
+    S = _round_up(Lq + 1, 8)               # int32 sublane tile is 8
     steps = Lq + Lt - 1                    # d = 2 .. Lq+Lt
     n_chunks = -(-steps // S)
     TB = 128
     Bp = _round_up(max(B, 1), TB)
     nbt = Bp // TB
 
-    q16 = q.astype(jnp.int16)
-    t16 = t.astype(jnp.int16)
+    q16 = q.astype(jnp.int32)
+    t16 = t.astype(jnp.int32)
     # qreg [S, Bp]: row i holds q[b, i-1], row 0 sentinel
-    qreg = jnp.full((S, Bp), 127, jnp.int16)
+    qreg = jnp.full((S, Bp), 127, jnp.int32)
     qreg = qreg.at[1:Lq + 1, :B].set(q16.T)
     # rbuf windows [n_chunks, 2S, Bp]: rbuf[c, u, b] = t_b[(c+1)S - u]
     # (the kernel rolls BEFORE reading, so after s+1 rolls row S+i holds
@@ -212,12 +211,12 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     tp = jnp.where(okpos, tpos, 0)
     rbuf = jnp.where(okpos[..., None],
                      jnp.take(t16, tp, axis=1).transpose(1, 2, 0),
-                     jnp.int16(127))
+                     jnp.int32(127))
     rbuf = jnp.concatenate(
-        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 127, jnp.int16)], axis=2)
+        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 127, jnp.int32)], axis=2)
 
-    qlp = jnp.zeros((1, Bp), jnp.int16).at[0, :B].set(qlen.astype(jnp.int16))
-    tlp = jnp.zeros((1, Bp), jnp.int16).at[0, :B].set(tlen.astype(jnp.int16))
+    qlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(qlen.astype(jnp.int32))
+    tlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(tlen.astype(jnp.int32))
 
     grid = (nbt, n_chunks)
     kernel = functools.partial(_kernel, params=params, mode=mode, S=S,
@@ -241,12 +240,12 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
         ],
         out_specs=[lane_spec32] * 3,
         scratch_shapes=[
-            pltpu.VMEM((S, TB), jnp.int16),   # Hm1
-            pltpu.VMEM((S, TB), jnp.int16),   # Hm2
-            pltpu.VMEM((S, TB), jnp.int16),   # E
-            pltpu.VMEM((S, TB), jnp.int16),   # F
-            pltpu.VMEM((S, TB), jnp.int16),   # best score per row
-            pltpu.VMEM((S, TB), jnp.int16),   # best diag per row
+            pltpu.VMEM((S, TB), jnp.int32),   # Hm1
+            pltpu.VMEM((S, TB), jnp.int32),   # Hm2
+            pltpu.VMEM((S, TB), jnp.int32),   # E
+            pltpu.VMEM((S, TB), jnp.int32),   # F
+            pltpu.VMEM((S, TB), jnp.int32),   # best score per row
+            pltpu.VMEM((S, TB), jnp.int32),   # best diag per row
         ],
         interpret=interpret,
     )(qlp, tlp, qreg, rbuf)

@@ -136,6 +136,27 @@ def closure_stats(picked: dict[int, np.ndarray],
             "n_closed": len(hits)}
 
 
+def extract_filled_regions(filled_genome: fasta.Genome, gaps,
+                           fills: dict[int, np.ndarray], margin: int = 5):
+    """get_filled_seq_from_out_scf equivalent: pull each filled gap's
+    sequence back out of a patched scaffold FASTA.
+
+    Accounts for the length change each upstream fill introduces on the
+    same scaffold. Returns {gap_idx: codes}."""
+    out = {}
+    shift: dict[int, int] = {}
+    for g in sorted(fills):
+        si = int(gaps["scaffold"][g])
+        s = int(gaps["local_start"][g]) - margin
+        e = int(gaps["local_end"][g]) + margin
+        off = shift.get(si, 0)
+        seq = filled_genome.scaffold(si)
+        fill_len = len(fills[g])
+        out[g] = seq[s + off: s + off + fill_len].copy()
+        shift[si] = off + fill_len - (e - s)
+    return out
+
+
 def discordant_alignment_stats(rec, readsets, truths, gaps):
     """discordant_alignment_statistic.py equivalent: what fraction of
     each gap's recruited reads align to its truth sequence?"""
