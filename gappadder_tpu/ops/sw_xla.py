@@ -88,11 +88,8 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
     go = params.gap_open
     ge = params.gap_extend
 
-    # per-LANE best (score, diagonal); final reduction picks the lowest
-    # query index among maxima then the earliest diagonal — the same
-    # tie-break as the oracle's row-major argmax (smallest qend, then
-    # smallest tend)
-    best0 = (jnp.full((B, L), NEG, jnp.int32), jnp.zeros((B, L), jnp.int32))
+    best0 = (jnp.full((B,), NEG, jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32))
 
     def step(carry, d):
         Hm2, Hm1, Em1, Fm1, tr, best = carry
@@ -119,16 +116,19 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
         col0_ok = (lane == d) & (lane <= qlen[:, None])
         H = jnp.where(col0_ok, boundary_col0(), H)
 
-        # best tracking (per lane, no per-step reduction)
+        # best tracking
         if mode == "overlap":
             endcell = valid & ((lane >= qlen[:, None] - end_slack) |
                                (j >= tlen[:, None] - end_slack))
             cand = jnp.where(endcell, H, NEG)
         else:
             cand = jnp.where(valid, H, NEG)
-        bs, bd = best
-        upd = cand > bs
-        best = (jnp.where(upd, cand, bs), jnp.where(upd, d, bd))
+        m = jnp.max(cand, axis=1)
+        am = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        bs, bi, bd = best
+        upd = m > bs
+        best = (jnp.where(upd, m, bs), jnp.where(upd, am, bi),
+                jnp.where(upd, d, bd))
 
         return (Hm1, H, E, F, tr, best), None
 
@@ -136,10 +136,7 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
     (Hm2, Hm1, Em1, Fm1, tr, best), _ = jax.lax.scan(
         step, (Hm2, Hm1, Em1, Fm1, tr, best0), ds)
 
-    bs_lane, bd_lane = best
-    score = jnp.max(bs_lane, axis=1)
-    bi = jnp.argmax(bs_lane, axis=1).astype(jnp.int32)
-    bd = jnp.max(jnp.where(lane == bi[:, None], bd_lane, -1), axis=1)
+    score, bi, bd = best
     if mode == "extend":
         # oracle includes the (0,0) origin (score 0) as a candidate
         empty = score < 0
