@@ -22,7 +22,17 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
+    # persistent compilation cache: remote TPU compiles via the tunnel
+    # can take minutes; warm runs then load from disk
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from gappadder_tpu.ops import sw_host, sw_pallas, sw_xla
     from gappadder_tpu.ops.sw_host import SWParams
