@@ -11,6 +11,7 @@ step).
 from __future__ import annotations
 
 import argparse
+import os
 import shutil
 import sys
 
@@ -36,6 +37,16 @@ def main(argv=None):
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="write a JAX profiler trace for device timelines")
     args = p.parse_args(argv)
+
+    # persistent compilation cache (remote TPU compiles take minutes)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     cfg = load_config(args.config)
     ws = Workspace(cfg.workdir)

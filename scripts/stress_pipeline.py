@@ -25,6 +25,12 @@ def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
         sys.argv.remove("--cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(_ROOT / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     n_gaps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     scaf_kb = int(sys.argv[2]) if len(sys.argv) > 2 else 25
 
