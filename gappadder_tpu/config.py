@@ -123,7 +123,7 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
     kwargs: dict[str, Any] = {}
     for field in ("min_gap_size", "flank_length", "nthreads", "anchor_mapq",
                   "clip_dist", "flank_margin", "long_insert_threshold",
-                  "high_quality_mapq", "min_contig_len"):
+                  "high_quality_mapq", "min_contig_len", "min_kmer_count"):
         if field in params:
             kwargs[field] = int(params[field])
     if "verbose" in params:

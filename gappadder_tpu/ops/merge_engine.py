@@ -196,6 +196,12 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     cand = [(int(a), int(b)) for a, b in zip(*np.nonzero(cmat))]
     if not cand:
         return [], []
+    # bound the DP bill on fragmented inputs: keep the highest-support
+    # candidates (deterministic: support desc, then pair index)
+    MAX_CAND = 2048
+    if len(cand) > MAX_CAND:
+        cand.sort(key=lambda ab: (-int(shared[ab[0], ab[1]]), ab))
+        cand = sorted(cand[:MAX_CAND])
 
     qs = [nodes[a] for a, _ in cand]
     ts = [nodes[b] for _, b in cand]

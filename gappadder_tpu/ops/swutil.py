@@ -61,20 +61,34 @@ def sw_pairs(queries, qlens, targets, tlens, params: SWParams,
 
 def sw_ragged(queries, targets, params: SWParams, mode: str,
               end_slack: int = 0, use_pallas: bool | None = None):
-    """Ragged list-of-arrays convenience wrapper over sw_pairs."""
+    """Ragged list-of-arrays wrapper over sw_pairs, grouping pairs by
+    query-length bucket so short pairs don't pay for the longest one."""
     if not queries:
         z = np.zeros(0, np.int64)
         return z, z, z
     B = len(queries)
-    Lq = max(len(q) for q in queries)
-    Lt = max(len(t) for t in targets)
-    qa = np.full((B, max(Lq, 1)), dna.N, np.int8)
-    ta = np.full((B, max(Lt, 1)), dna.N, np.int8)
-    ql = np.zeros(B, np.int32)
-    tl = np.zeros(B, np.int32)
-    for i, (q, t) in enumerate(zip(queries, targets)):
-        qa[i, :len(q)] = q
-        ta[i, :len(t)] = t
-        ql[i] = len(q)
-        tl[i] = len(t)
-    return sw_pairs(qa, ql, ta, tl, params, mode, end_slack, use_pallas)
+    out_s = np.zeros(B, np.int64)
+    out_qe = np.zeros(B, np.int64)
+    out_te = np.zeros(B, np.int64)
+    groups: dict[int, list[int]] = {}
+    for i, q in enumerate(queries):
+        groups.setdefault(_bucket(max(len(q), 1), 64), []).append(i)
+    for _, idxs in sorted(groups.items()):
+        Lq = max(len(queries[i]) for i in idxs)
+        Lt = max(len(targets[i]) for i in idxs)
+        qa = np.full((len(idxs), max(Lq, 1)), dna.N, np.int8)
+        ta = np.full((len(idxs), max(Lt, 1)), dna.N, np.int8)
+        ql = np.zeros(len(idxs), np.int32)
+        tl = np.zeros(len(idxs), np.int32)
+        for r, i in enumerate(idxs):
+            q, t = queries[i], targets[i]
+            qa[r, :len(q)] = q
+            ta[r, :len(t)] = t
+            ql[r] = len(q)
+            tl[r] = len(t)
+        s, qe, te = sw_pairs(qa, ql, ta, tl, params, mode, end_slack,
+                             use_pallas)
+        out_s[idxs] = s
+        out_qe[idxs] = qe
+        out_te[idxs] = te
+    return out_s, out_qe, out_te

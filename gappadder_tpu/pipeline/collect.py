@@ -62,6 +62,14 @@ def _pad_windows(cols: dict[str, np.ndarray], pad_to_multiple: int = 256):
 def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
     """BAM tid -> scaffold index in genome order (-1 if unknown)."""
     lookup = {n: i for i, n in enumerate(names)}
+    missing = [r for r in refs if r not in lookup]
+    if missing and len(missing) == len(refs):
+        import sys
+        print(f"[collect] WARNING: none of the BAM's {len(refs)} reference "
+              f"names match the draft genome's scaffold names (e.g. BAM "
+              f"{missing[0]!r} vs draft {names[0]!r}); no reads can be "
+              f"recruited — is this BAM aligned to this draft?",
+              file=sys.stderr)
     return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
 
 
