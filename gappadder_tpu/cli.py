@@ -27,10 +27,12 @@ def main(argv=None):
                                 description="TPU-native gap closing")
     p.add_argument("-c", "--command", required=True,
                    choices=["Clean", "All", "Preprocess", "Collect",
-                            "Assembly", "Patch"])
+                            "Assembly", "Patch", "Evaluate"])
     p.add_argument("-g", "--config", required=True)
     p.add_argument("--parity-files", action="store_true",
                    help="also write reference-layout text/FASTA files")
+    p.add_argument("--finished", metavar="FASTA", default=None,
+                   help="finished genome for Evaluate (truth extraction)")
     p.add_argument("--force", action="store_true",
                    help="re-run stages even when the workspace manifest "
                         "marks them done for this config")
@@ -90,6 +92,12 @@ def main(argv=None):
             print(f"[assembly] {m['closed']} gaps closed, "
                   f"{m['extended']} extended -> "
                   f"{ws.path('picked_seqs.fa')}")
+        if cmd == "Evaluate":
+            if not args.finished:
+                print("Evaluate needs --finished <genome.fa>",
+                      file=sys.stderr)
+                return 2
+            _evaluate(cfg, ws, args.finished)
         if cmd in ("Patch", "All"):
             with METERS.stage("patch") as m:
                 gaps = ws.load_arrays("gaps")
@@ -104,6 +112,31 @@ def main(argv=None):
     if cfg.verbose:
         print(METERS.report())
     return 0
+
+
+def _evaluate(cfg, ws, finished_path):
+    """statistic_rslt.py equivalent: extract gap truths from a finished
+    genome and score the picked fills; writes hit_list.txt and
+    closed_gap_length.txt in the reference's spirit."""
+    from .tools import evaluate as ev
+    from .pipeline.preprocess import gap_ids
+    gaps = ws.load_arrays("gaps")
+    finished = fasta.read_fasta(finished_path)
+    truths = ev.extract_true_gap_seqs(
+        gaps, finished, gaps["flank_left"], gaps["flank_right"],
+        (gaps["flank_left_len"], gaps["flank_right_len"]))
+    fills = _fills_from_picked(ws, gaps)
+    stats = ev.closure_stats(fills, truths)
+    ids = gap_ids(gaps)
+    with open(ws.path("hit_list.txt"), "w") as fh:
+        for g in stats["hit_list"]:
+            fh.write(f"{ids[g]}\n")
+    with open(ws.path("closed_gap_length.txt"), "w") as fh:
+        for ln in stats["closed_lengths"]:
+            fh.write(f"{ln}\n")
+    print(f"[evaluate] {stats['n_closed']}/{len(fills)} picked fills "
+          f"close their gap (truths for {len(truths)}/{len(ids)} gaps) "
+          f"-> {ws.path('hit_list.txt')}")
 
 
 def _fills_from_picked(ws, gaps):

@@ -49,6 +49,16 @@ def test_cli_all_and_resume(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     assert out.count("up-to-date") >= 3
 
+    # Evaluate against the finished (truth) genome
+    fasta.write_fasta(tmp_path / "finished.fa", [("t0", truth)])
+    rc = main(["-c", "Evaluate", "-g", str(tmp_path / "config.json"),
+               "--finished", str(tmp_path / "finished.fa")])
+    assert rc == 0
+    hits = open(tmp_path / "work/hit_list.txt").read().split()
+    assert hits == ["0_1"]
+    lens = open(tmp_path / "work/closed_gap_length.txt").read().split()
+    assert len(lens) == 1
+
     # Clean removes the workspace
     rc = main(["-c", "Clean", "-g", str(tmp_path / "config.json")])
     assert rc == 0
