@@ -1,0 +1,56 @@
+"""CIGAR/flag edge-case fuzz for the BAM decode path (SURVEY §7
+hardening item: CIGAR/flag fuzz)."""
+
+import numpy as np
+import pytest
+
+from gappadder_tpu.io import bam as bam_io, native
+
+
+def _roundtrip(tmp_path, recs):
+    path = str(tmp_path / "edge.bam")
+    bam_io.write_bam(path, [("c", 10000)], recs)
+    return bam_io.read_bam(path, keep_names=True)
+
+
+def test_cigar_op_zoo(tmp_path):
+    recs = [
+        dict(name="hardclip", flag=0, tid=0, pos=1, cigar=[("H", 9), ("M", 30), ("H", 2)], mtid=-1, mpos=-1, tlen=0),
+        dict(name="single_s", flag=0, tid=0, pos=2, cigar=[("S", 50)], mtid=-1, mpos=-1, tlen=0),
+        dict(name="eq_x_ops", flag=0, tid=0, pos=3, cigar=[("=", 10), ("X", 5), ("=", 10)], mtid=-1, mpos=-1, tlen=0),
+        dict(name="with_intron", flag=0, tid=0, pos=4, cigar=[("M", 10), ("N", 100), ("M", 10)], mtid=-1, mpos=-1, tlen=0),
+        dict(name="indels", flag=0, tid=0, pos=5, cigar=[("S", 3), ("M", 10), ("I", 4), ("M", 5), ("D", 2), ("M", 8), ("S", 7)], mtid=-1, mpos=-1, tlen=0),
+        dict(name="unmapped", flag=4, tid=-1, pos=-1, cigar=[], mtid=-1, mpos=-1, tlen=0),
+    ]
+    a = _roundtrip(tmp_path, recs)
+    by = {n.decode(): i for i, n in enumerate(a.names)}
+    assert a.lclip[by["hardclip"]] == 9 and a.rclip[by["hardclip"]] == 2
+    assert a.nmatch[by["hardclip"]] == 30
+    # single-op S counts as clipped on BOTH sides (reference is_clipped)
+    assert a.lclip[by["single_s"]] == 50 and a.rclip[by["single_s"]] == 50
+    assert a.nmatch[by["eq_x_ops"]] == 25        # = and X count as aligned
+    assert a.nmatch[by["with_intron"]] == 20     # N skip not aligned
+    assert a.nmatch[by["indels"]] == 23
+    assert a.lclip[by["indels"]] == 3 and a.rclip[by["indels"]] == 7
+    assert a.nmatch[by["unmapped"]] == 0
+
+
+def test_native_matches_python_on_edge_cases(tmp_path):
+    if not native.available():
+        pytest.skip("native lib not built")
+    recs = [
+        dict(name="hardclip", flag=0x841, tid=0, pos=1,
+             cigar=[("H", 9), ("M", 30), ("H", 2)], mtid=0, mpos=50, tlen=80),
+        dict(name="single_s", flag=0x585, tid=0, pos=2, cigar=[("S", 50)],
+             mtid=-1, mpos=-1, tlen=0),
+        dict(name="weird/1 with spaces", flag=0, tid=0, pos=3,
+             cigar=[("=", 10), ("X", 5)], mtid=-1, mpos=-1, tlen=-1),
+    ]
+    path = str(tmp_path / "edge2.bam")
+    bam_io.write_bam(path, [("c", 10000)], recs)
+    a = bam_io.read_bam(path)
+    b = native.read_bam_native(path)
+    for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+              "lclip", "rclip", "nmatch", "read_len"):
+        np.testing.assert_array_equal(getattr(a, k), getattr(b, k), k)
+    np.testing.assert_array_equal(a.name_hash, b.name_hash)
