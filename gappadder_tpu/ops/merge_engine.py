@@ -38,10 +38,9 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-import jax.numpy as jnp
 
 from .. import dna
-from . import sw_host, sw_xla
+from . import sw_host
 from .sw_host import SWParams
 
 MERGE_PARAMS = SWParams(match=1, mismatch=-2, gap_open=2, gap_extend=2)

@@ -22,7 +22,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from .. import dna
+
 from ..config import Config
 from ..io import fasta
 from ..ops import gapscan

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .. import dna
 from ..config import Config
-from ..ops import seedmatch, sw_xla
+from ..ops import seedmatch
 from ..ops.sw_host import BWA_PARAMS
 
 SEED_K = 19
