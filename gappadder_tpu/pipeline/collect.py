@@ -75,11 +75,14 @@ def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
 
 def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                     scaffold_names: list[str], aln: bam_io.Alignments,
-                    left: fastq.ReadSet, right: fastq.ReadSet):
+                    left: fastq.ReadSet, right: fastq.ReadSet,
+                    use_device_union: bool = True):
     """Classify one library; returns recruitment arrays.
 
     Returns dict with 1-D arrays: gap, side, row, hq (bool) — `row`
-    indexes into the side's ReadSet.
+    indexes into the side's ReadSet. use_device_union switches the
+    final dedup + FASTQ hash-join between the device implementation
+    (ops/recruit.py) and the host numpy oracle below.
     """
     dist1 = lib.insert_size - 3 * lib.std
     dist2 = lib.insert_size + 3 * lib.std
@@ -217,6 +220,11 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
     side_a = np.concatenate(ent_side).astype(np.int64)
     hash_a = np.concatenate(ent_hash)
     hq_a = np.concatenate(ent_hq)
+
+    if use_device_union:
+        from ..ops import recruit
+        return recruit.recruit_on_device(gap_a, side_a, hash_a, hq_a,
+                                         (left, right))
 
     # --- union/dedup + hash-join against FASTQ name tables ---------------
     out_gap, out_side, out_row, out_hq = [], [], [], []

@@ -35,8 +35,10 @@ class Workspace:
         m = self._load_manifest()
         m["stages"][stage] = {"config_hash": config_hash,
                               "time": time.time(), **extra}
-        with open(self._manifest_path, "w") as fh:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(m, fh, indent=2)
+        os.replace(tmp, self._manifest_path)  # atomic vs crashes
 
     def is_done(self, stage: str, config_hash: str) -> bool:
         st = self._load_manifest()["stages"].get(stage)

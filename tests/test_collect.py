@@ -166,6 +166,30 @@ def test_collect_parity_with_oracle(tmp_path, insert_size, std):
     assert phr == ohr
 
 
+def test_device_union_matches_host(tmp_path):
+    """The device-side dedup + hash-join (ops/recruit) must produce the
+    same recruitment set as the host numpy oracle path."""
+    from gappadder_tpu.pipeline.collect import collect_library, \
+        read_bam_any, read_fastq_any
+    from gappadder_tpu.pipeline.workspace import Workspace
+    rng = np.random.default_rng(3)
+    recs = _gen_records(rng)
+    cfg, ws, gaps, rec, readsets = _pipeline_run(tmp_path, recs, 900, 100)
+    lib = cfg.libraries[0]
+    aln = read_bam_any(lib.bam)
+    left = read_fastq_any(lib.left_fq)
+    right = read_fastq_any(lib.right_fq)
+    scaffold_names = ws.load_json("scaffold_names")
+    host = collect_library(cfg, lib, gaps, scaffold_names, aln, left,
+                           right, use_device_union=False)
+    dev = collect_library(cfg, lib, gaps, scaffold_names, aln, left,
+                          right, use_device_union=True)
+    h = set(zip(host["gap"], host["side"], host["row"], host["hq"]))
+    d = set(zip(dev["gap"], dev["side"], dev["row"], dev["hq"]))
+    assert h == d
+    assert len(host["gap"]) == len(dev["gap"])
+
+
 def test_bam_roundtrip(tmp_path):
     refs = [("c1", 1000), ("c2", 500)]
     recs = [
