@@ -62,6 +62,25 @@ def test_close_single_gap(tmp_path, rng):
     assert dna.decode(recs[0][1]) == truth
 
 
+def test_gap_near_scaffold_edge(tmp_path, rng):
+    """Gap 60bp from the scaffold start: the left flank is truncated
+    (55bp) — the pick must still anchor and close or extend."""
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, gap_len=120, L=2200,
+                                  n_pairs=520, gap_pos=60)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
+    assert int(gaps["flank_left_len"][0]) == 60 - cfg.flank_margin
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
+                                               readsets=readsets,
+                                               genome=genome)
+    assert 0 in fills or 0 in exts
+    if 0 in fills:
+        want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
+        assert dna.decode(fills[0][0]) == want
+
+
 def test_close_gap_with_sequencing_errors(tmp_path, rng):
     """0.5% substitution errors; the adaptive k-mer count filter +
     DBG tip clipping must still recover the exact gap sequence."""
