@@ -36,6 +36,7 @@ class TpuParams:
     mesh_axes: tuple[str, ...] = ("dp",)
     max_gaps: int = 1 << 16          # static bound for jitted gap scan
     read_batch: int = 1 << 16        # reads per classification batch
+    gap_batch: int = 16              # gaps assembled per device batch
     gap_bucket_sizes: tuple[int, ...] = (1 << 10, 1 << 13, 1 << 16)
     use_pallas: bool = True          # fall back to pure-XLA kernels if False
 
@@ -115,6 +116,7 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
         mesh_axes=tuple(tpu_raw.get("mesh_axes", ("dp",))),
         max_gaps=int(tpu_raw.get("max_gaps", TpuParams.max_gaps)),
         read_batch=int(tpu_raw.get("read_batch", TpuParams.read_batch)),
+        gap_batch=int(tpu_raw.get("gap_batch", TpuParams.gap_batch)),
         gap_bucket_sizes=tuple(tpu_raw.get("gap_bucket_sizes",
                                            TpuParams.gap_bucket_sizes)),
         use_pallas=bool(tpu_raw.get("use_pallas", True)),

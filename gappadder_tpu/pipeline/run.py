@@ -116,10 +116,11 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg):
         R = next((r for r, _ in _BUCKETS if n <= r), _BUCKETS[-1][0])
         buckets.setdefault(R, []).append(g)
     md_of = dict(_BUCKETS)
+    GB = max(int(getattr(cfg.tpu, "gap_batch", 16)), 1)
     for R, gl in sorted(buckets.items()):
-        for lo in range(0, len(gl), 16):
-            batch = gl[lo:lo + 16]
-            padded = batch + [-1] * (16 - len(batch))  # fixed G shape
+        for lo in range(0, len(gl), GB):
+            batch = gl[lo:lo + GB]
+            padded = batch + [-1] * (GB - len(batch))  # fixed G shape
             seq, rlen, nreads = _pad_batch(padded, per_gap, readsets, R, L)
             contigs = assemble.assemble_gap_batch(
                 cfg, seq, rlen, nreads, max_distinct=md_of[R])
