@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from gappadder_tpu import dna
 from gappadder_tpu.ops import merge_engine
@@ -62,6 +63,36 @@ def test_merge_three_chain(rng):
     canon = min(best.tobytes(), dna.revcomp(best).tobytes())
     want = min(truth.tobytes(), dna.revcomp(truth).tobytes())
     assert canon == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_merge_reconstructs_random_chains(seed):
+    """Property: a truth split into random overlapping pieces (some
+    reverse-complemented, shuffled) merges back to the full truth."""
+    rng = np.random.default_rng(seed)
+    n_pieces = int(rng.integers(2, 6))
+    L = int(rng.integers(400, 900))
+    truth = _rand(rng, L)
+    cuts = np.sort(rng.choice(np.arange(60, L - 60), n_pieces - 1,
+                              replace=False))
+    bounds = [0] + list(cuts) + [L]
+    pieces = []
+    for i in range(n_pieces):
+        s = bounds[i]
+        e = bounds[i + 1]
+        s2 = max(0, s - int(rng.integers(20, 50)))   # overlap prev piece
+        p = truth[s2:e].copy()
+        if rng.integers(0, 2):
+            p = dna.revcomp(p)
+        pieces.append(p)
+    order = rng.permutation(n_pieces)
+    merged, _ = merge_engine.merge_contigs([pieces[i] for i in order],
+                                           MergeConfig())
+    assert merged, f"no merge (seed={seed})"
+    best = max(merged, key=len)
+    canon = min(best.tobytes(), dna.revcomp(best).tobytes())
+    want = min(truth.tobytes(), dna.revcomp(truth).tobytes())
+    assert canon == want, (seed, len(best), L)
 
 
 def test_merge_rejects_containment(rng):
