@@ -99,6 +99,26 @@ def read_fastq(path: str | os.PathLike, max_len: int | None = None) -> ReadSet:
                    name_hash=_fnv1a_batch(names), names=names)
 
 
+def subset(readset: ReadSet, rows) -> ReadSet:
+    """Row-select a ReadSet (the TERefiner HardClipReads / seqtk-style
+    FASTQ subsetting equivalent, TERefiner/HardClipReads.cpp)."""
+    rows = np.asarray(rows, np.int64)
+    return ReadSet(seq=readset.seq[rows], length=readset.length[rows],
+                   qual=readset.qual[rows],
+                   name_hash=readset.name_hash[rows],
+                   names=[readset.names[int(r)] for r in rows])
+
+
+def subset_by_names(readset: ReadSet, names) -> ReadSet:
+    """Subset by read names (bytes or str), preserving request order."""
+    want = [n.encode() if isinstance(n, str) else n for n in names]
+    index = {}
+    for i, n in enumerate(readset.names):
+        index.setdefault(n, i)
+    rows = [index[n] for n in want if n in index]
+    return subset(readset, rows)
+
+
 def write_fastq(path_or_fh, readset: ReadSet, rows, suffix: str = "") -> None:
     """Write selected rows as FASTQ; name gets `suffix` appended
     (reference renames to '<id>_1'/'<id>_2',

@@ -53,3 +53,16 @@ def test_fastq_native_matches_python(tmp_path, rng):
     L = min(a.seq.shape[1], b.seq.shape[1])
     np.testing.assert_array_equal(a.seq[:, :L], b.seq[:, :L])
     np.testing.assert_array_equal(a.qual[:, :L], b.qual[:, :L])
+
+
+def test_fastq_subset(tmp_path, rng):
+    path = str(tmp_path / "s.fastq")
+    with open(path, "w") as fh:
+        for i in range(10):
+            fh.write(f"@q{i}\nACGT\n+\nIIII\n")
+    rs = fastq.read_fastq(path)
+    sub = fastq.subset(rs, [3, 1, 7])
+    assert sub.names == [b"q3", b"q1", b"q7"]
+    sub2 = fastq.subset_by_names(rs, ["q9", "missing", "q0"])
+    assert sub2.names == [b"q9", b"q0"]
+    assert sub2.n == 2
