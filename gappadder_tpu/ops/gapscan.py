@@ -135,11 +135,13 @@ def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
                 "local_start": z, "local_end": z}
     if max_gaps is None:
         # exact bound: number of N-run starts (nonzero slots are consumed
-        # by ALL runs, including sub-min_gap_size ones)
+        # by ALL runs, including sub-min_gap_size ones); rounded to the
+        # next power of two so different drafts share compiled shapes
         is_gap = seq == dna.N
         starts_mask = is_gap.copy()
         starts_mask[1:] &= ~is_gap[:-1]
-        max_gaps = max(16, int(starts_mask.sum()))
+        n_runs = max(16, int(starts_mask.sum()))
+        max_gaps = 1 << (n_runs - 1).bit_length()
     starts, ends, count = find_gap_runs(jnp.asarray(seq), min_gap_size, max_gaps)
     n = int(count)
     starts = np.asarray(starts)[:n]
