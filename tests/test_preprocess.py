@@ -52,3 +52,17 @@ def test_preprocess_no_gaps(tmp_path):
     cfg = Config(draft_genome=path, working_folder=str(tmp_path / "w"))
     table = preprocess.run_preprocess(cfg, Workspace(cfg.workdir))
     assert len(table["start"]) == 0
+
+
+def test_write_fai(tmp_path):
+    path = str(tmp_path / "g.fa")
+    fasta.write_fasta(path, [("s0", "ACGT" * 30), ("s1", "TT")], width=50)
+    fai = fasta.write_fai(path)
+    lines = [l.split("\t") for l in open(fai).read().splitlines()]
+    assert lines[0][0] == "s0" and int(lines[0][1]) == 120
+    assert int(lines[0][3]) == 50 and int(lines[0][4]) == 51
+    assert lines[1][0] == "s1" and int(lines[1][1]) == 2
+    # offsets point at the first base
+    data = open(path, "rb").read()
+    assert data[int(lines[0][2]):int(lines[0][2]) + 4] == b"ACGT"
+    assert data[int(lines[1][2]):int(lines[1][2]) + 2] == b"TT"
