@@ -46,20 +46,24 @@ def build_index(contig_seq, contig_len, k: int):
     flat = limbs.reshape(C * P, -1)
     ids = jnp.repeat(jnp.arange(C, dtype=jnp.int32), P)
     ids = jnp.where(valid.reshape(-1), ids, -1)
+    pos = jnp.tile(jnp.arange(P, dtype=jnp.int32), C)
     nl = flat.shape[-1]
-    ops = [flat[:, l] for l in range(nl)] + [ids]
+    ops = [flat[:, l] for l in range(nl)] + [ids, pos]
     res = jax.lax.sort(tuple(ops), dimension=0, num_keys=nl)
-    return {"limbs": jnp.stack(res[:nl], axis=-1), "contig": res[nl]}
+    return {"limbs": jnp.stack(res[:nl], axis=-1), "contig": res[nl],
+            "pos": res[nl + 1]}
 
 
 @functools.partial(jax.jit, static_argnames=("k", "fanout"))
 def match_candidates(read_seq, read_len, index_limbs, index_contig,
-                     k: int, fanout: int = 4):
+                     k: int, fanout: int = 4, index_pos=None):
     """Candidate (read, contig, strand) votes via k-mer join.
 
     Returns:
       contig: int32 [N, 2, P, fanout] matched contig ids (-1 none),
-        axis 1 = strand (0 fwd, 1 revcomp of read).
+        axis 1 = strand (0 fwd, 1 revcomp of read);
+      if index_pos is given, also diag: int32 [N, 2, P, fanout] —
+        the seed diagonal (contig_pos - read_pos) of each hit.
     """
     N, L = read_seq.shape
     rc = dna.revcomp_jnp(read_seq, read_len)
@@ -95,19 +99,34 @@ def match_candidates(read_seq, read_len, index_limbs, index_contig,
     eq &= cand >= 0
     eq &= ~jnp.all(q == FULL, axis=-1)[:, None]
     contig = jnp.where(eq, index_contig[cc], -1)
-    return contig.reshape(N, 2, P, fanout)
+    if index_pos is None:
+        return contig.reshape(N, 2, P, fanout)
+    rpos = jnp.tile(jnp.arange(P, dtype=jnp.int32), N * 2)[:, None]
+    diag = jnp.where(eq, index_pos[cc] - rpos, 0)
+    return (contig.reshape(N, 2, P, fanout),
+            diag.reshape(N, 2, P, fanout))
 
 
-def vote_pairs(contig_votes, min_votes: int = 2):
-    """Host: dedupe candidates into (read, strand, contig, votes)."""
+def vote_pairs(contig_votes, min_votes: int = 2, diag_votes=None):
+    """Host: dedupe candidates into (read, strand, contig, votes)
+    tuples; with diag_votes, (read, strand, contig, votes, diag) where
+    diag is the median seed diagonal (contig_pos - read_pos)."""
     cv = np.asarray(contig_votes)
+    dv = np.asarray(diag_votes) if diag_votes is not None else None
     N = cv.shape[0]
     out = []
     for r in range(N):
         for s in range(2):
-            vals, cnts = np.unique(cv[r, s][cv[r, s] >= 0],
-                                   return_counts=True)
+            flat = cv[r, s].reshape(-1)
+            ok = flat >= 0
+            vals, cnts = np.unique(flat[ok], return_counts=True)
             for c, n in zip(vals, cnts):
-                if n >= min_votes:
+                if n < min_votes:
+                    continue
+                if dv is None:
                     out.append((r, s, int(c), int(n)))
+                else:
+                    dsel = dv[r, s].reshape(-1)[ok & (flat == c)]
+                    out.append((r, s, int(c), int(n),
+                                int(np.median(dsel))))
     return out
