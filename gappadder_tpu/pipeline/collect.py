@@ -73,10 +73,33 @@ def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
     return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
 
 
+def classify_batch_sharded(mesh, args, static):
+    """Run classify_reads under shard_map: reads sharded along the
+    flattened mesh axes, window/gap tables replicated. Returns the same
+    outputs as classify_reads with the batch dimension restored."""
+    import functools
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    dp = P(axes)
+    rep = P()
+    fn = functools.partial(classify.classify_reads, **static)
+    sharded = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(dp,) * 9 + (rep,) * 7,
+        out_specs={k: dp for k in ("widx", "gap", "clip", "disc", "unmap",
+                                   "side_self", "side_mate")},
+        check_vma=False))
+    placed = [jax.device_put(a, NamedSharding(mesh, s))
+              for a, s in zip(args, (dp,) * 9 + (rep,) * 7)]
+    return sharded(*placed)
+
+
 def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                     scaffold_names: list[str], aln: bam_io.Alignments,
                     left: fastq.ReadSet, right: fastq.ReadSet,
-                    use_device_union: bool = True):
+                    use_device_union: bool = True, mesh=None):
     """Classify one library; returns recruitment arrays.
 
     Returns dict with 1-D arrays: gap, side, row, hq (bool) — `row`
@@ -118,6 +141,9 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
     mate_tid, mate_pos, mate_gap = [], [], []
 
     B = cfg.tpu.read_batch
+    if mesh is not None:
+        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        B = -(-B // m) * m           # shardable batch size
     n = aln.n
     for lo in range(0, n, B):
         hi = min(lo + B, n)
@@ -130,17 +156,21 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 a = np.concatenate([a, np.full(pad, fill, np.int32)])
             return jnp.asarray(a)
 
-        out = classify.classify_reads(
+        cls_args = (
             col(tid, -2), col(aln.pos, -1), col(aln.flag), col(aln.mapq),
             col(mtid, -2), col(aln.mpos, -1), col(aln.tlen),
             col(aln.lclip), col(aln.rclip),
             jnp.asarray(wp["tid"]), jnp.asarray(wp["start"]),
             jnp.asarray(wp["end"]), jnp.asarray(wp["gap"]),
             jnp.asarray(wp["edge"]),
-            jnp.asarray(gap_start), jnp.asarray(gap_end),
-            dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
-            anchor_mapq=cfg.anchor_mapq, short_insert=short_insert,
-            fanout=fanout)
+            jnp.asarray(gap_start), jnp.asarray(gap_end))
+        cls_static = dict(dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
+                          anchor_mapq=cfg.anchor_mapq,
+                          short_insert=short_insert, fanout=fanout)
+        if mesh is not None:
+            out = classify_batch_sharded(mesh, cls_args, cls_static)
+        else:
+            out = classify.classify_reads(*cls_args, **cls_static)
 
         m = hi - lo
         gap_k = np.asarray(out["gap"])[:m]
@@ -266,6 +296,18 @@ def run_collect(cfg: Config, ws: Workspace,
     gaps = ws.load_arrays("gaps")
     scaffold_names = ws.load_json("scaffold_names")
 
+    # multi-chip: shard classification over a mesh when configured and
+    # enough devices exist (reads along dp, tables replicated)
+    mesh = None
+    n_mesh = 1
+    for d in cfg.tpu.mesh_shape:
+        n_mesh *= int(d)
+    if n_mesh > 1:
+        import jax
+        if len(jax.devices()) >= n_mesh:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(devices=jax.devices()[:n_mesh])
+
     all_cols = {"gap": [], "side": [], "row": [], "hq": [], "lib": []}
     bu_cols = {"lib": [], "side": [], "row": []}
     readsets = []
@@ -275,7 +317,7 @@ def run_collect(cfg: Config, ws: Workspace,
         right = read_fastq_any(lib.right_fq) if lib.right_fq else None
         readsets.append((left, right))
         rec = collect_library(cfg, lib, gaps, scaffold_names, aln,
-                              left, right)
+                              left, right, mesh=mesh)
         for k in ("gap", "side", "row", "hq"):
             all_cols[k].append(rec[k])
         all_cols["lib"].append(np.full(len(rec["gap"]), li, np.int32))

@@ -190,6 +190,29 @@ def test_device_union_matches_host(tmp_path):
     assert len(host["gap"]) == len(dev["gap"])
 
 
+def test_mesh_sharded_collect_matches(tmp_path):
+    """collect_library under an 8-device mesh == single-device result
+    (the production classify running sharded, not just the dryrun)."""
+    import jax
+    from gappadder_tpu.parallel.mesh import make_mesh
+    from gappadder_tpu.pipeline.collect import collect_library, \
+        read_bam_any, read_fastq_any
+    rng = np.random.default_rng(3)
+    recs = _gen_records(rng)
+    cfg, ws, gaps, rec, readsets = _pipeline_run(tmp_path, recs, 300, 50)
+    lib = cfg.libraries[0]
+    aln = read_bam_any(lib.bam)
+    left = read_fastq_any(lib.left_fq)
+    right = read_fastq_any(lib.right_fq)
+    names = ws.load_json("scaffold_names")
+    mesh = make_mesh(devices=jax.devices()[:8])
+    single = collect_library(cfg, lib, gaps, names, aln, left, right)
+    sharded = collect_library(cfg, lib, gaps, names, aln, left, right,
+                              mesh=mesh)
+    for k in ("gap", "side", "row", "hq"):
+        np.testing.assert_array_equal(single[k], sharded[k], k)
+
+
 def test_bam_roundtrip(tmp_path):
     refs = [("c1", 1000), ("c2", 500)]
     recs = [
