@@ -108,8 +108,27 @@ _BUCKETS = ((1 << 6, 1 << 12), (1 << 9, 1 << 13), (1 << 12, 1 << 14),
             (1 << 15, 1 << 16))
 
 
-def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg):
-    """Assemble + refine contigs for the given gaps (bucketed)."""
+def _make_mesh_if_configured(cfg):
+    n_mesh = 1
+    for d in cfg.tpu.mesh_shape:
+        n_mesh *= int(d)
+    if n_mesh <= 1:
+        return None
+    import jax
+    if len(jax.devices()) < n_mesh:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(devices=jax.devices()[:n_mesh])
+
+
+def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
+                   mesh=None):
+    """Assemble + refine contigs for the given gaps (bucketed).
+
+    With a mesh, the [G, ...] gap batch is sharded along the flattened
+    mesh axes (per-gap assembly is embarrassingly parallel: the DBG
+    sorts/scatters run within each gap's lane, so no cross-shard
+    collectives are needed — computation follows the data sharding)."""
     buckets: dict[int, list[int]] = {}
     for g in gap_list:
         n = max(len(per_gap[g]), 1)
@@ -117,11 +136,23 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg):
         buckets.setdefault(R, []).append(g)
     md_of = dict(_BUCKETS)
     GB = max(int(getattr(cfg.tpu, "gap_batch", 16)), 1)
+    if mesh is not None:
+        m = 1
+        for a in mesh.axis_names:
+            m *= mesh.shape[a]
+        GB = -(-GB // m) * m
     for R, gl in sorted(buckets.items()):
         for lo in range(0, len(gl), GB):
             batch = gl[lo:lo + GB]
             padded = batch + [-1] * (GB - len(batch))  # fixed G shape
             seq, rlen, nreads = _pad_batch(padded, per_gap, readsets, R, L)
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+                seq = jax.device_put(seq, dp)
+                rlen = jax.device_put(rlen, dp)
+                nreads = jax.device_put(nreads, dp)
             contigs = assemble.assemble_gap_batch(
                 cfg, seq, rlen, nreads, max_distinct=md_of[R])
             for i, g in enumerate(batch):
@@ -198,8 +229,11 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
         min_support_kmer=cfg.merge_min_support_kmer,
         dedup_cutoff=cfg.dedup_cutoff)
 
+    mesh = _make_mesh_if_configured(cfg)
+
     # ---- round 1 --------------------------------------------------------
-    _assemble_gaps(cfg, active, per_gap, readsets, L, contig_store, mcfg)
+    _assemble_gaps(cfg, active, per_gap, readsets, L, contig_store, mcfg,
+                   mesh=mesh)
     _pick_gaps(cfg, gaps, active, contig_store, fills, exts,
                cfg.pick_min_score_round1, allow_extension=False)
 
@@ -214,7 +248,7 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
             per_gap[g] += [e for e in extra[g] if e not in seen]
         if round2:
             _assemble_gaps(cfg, round2, per_gap, readsets, L,
-                           contig_store, mcfg)
+                           contig_store, mcfg, mesh=mesh)
             _pick_gaps(cfg, gaps, round2, contig_store, fills, exts,
                        cfg.pick_min_score_round1, allow_extension=False)
 
