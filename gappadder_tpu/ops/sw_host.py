@@ -17,6 +17,10 @@ Modes:
              0, no clamp, best restricted to last row/column) — the
              contig-merge overlap alignment.
   extend     anchored at (0,0), best anywhere (seed extension).
+  fit        query-global / target-local ("glocal"): the query must be
+             consumed end to end (leading/trailing query gaps are
+             penalized), the target window is free — produces the
+             UNCLIP-type flank placements bwa reports via -a.
 """
 
 from __future__ import annotations
@@ -50,10 +54,15 @@ def dp_matrices(q, t, p: SWParams, mode: str):
     H = np.zeros((n + 1, m + 1), np.int64)
     E = np.full((n + 1, m + 1), NEG, np.int64)
     F = np.full((n + 1, m + 1), NEG, np.int64)
+    go, ge = p.gap_open, p.gap_extend
     if mode == "extend":
         H[0, 1:] = NEG
         H[1:, 0] = NEG
-    go, ge = p.gap_open, p.gap_extend
+    elif mode == "fit":
+        # free target start; query consumed from base 1 (gap-penalized)
+        col = -(go + ge * np.arange(0, n, dtype=np.int64))
+        H[1:, 0] = col
+        F[1:, 0] = col
     for d in range(2, n + m + 1):
         ilo = max(1, d - m)
         ihi = min(n, d - 1)
@@ -93,6 +102,9 @@ def sw_np(q: np.ndarray, t: np.ndarray, p: SWParams = SWParams(),
             if m - c >= 0:
                 cand += [(H[i, m - c], i, m - c) for i in range(n + 1)]
         score, qend, tend = max(cand, key=lambda x: (x[0], x[1], x[2]))
+    elif mode == "fit":
+        cand = [(H[n, j], n, j) for j in range(m + 1)]
+        score, qend, tend = max(cand, key=lambda x: (x[0], x[1], x[2]))
     else:
         flat = np.argmax(H)
         qend, tend = divmod(int(flat), m + 1)
@@ -116,6 +128,8 @@ def traceback(q, t, p: SWParams, mode: str, qend: int, tend: int):
             if mode == "local" and H[i, j] == 0:
                 break
             if mode == "overlap" and (i == 0 or j == 0):
+                break
+            if mode == "fit" and i == 0:
                 break
             if i > 0 and j > 0:
                 s = p.match if (q[i - 1] == t[j - 1] and q[i - 1] < 4) \

@@ -169,7 +169,10 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if mode == "extend" and not interpret:
+    if (mode == "extend" and not interpret) or mode == "fit":
+        # extend: Mosaic relayout bug (see module docstring);
+        # fit: implemented in the XLA path only (pick-stage volume is
+        # small — one pair per flank x contig x strand)
         from . import sw_xla
         return sw_xla.sw_batch(q, qlen, t, tlen, params, mode,
                                end_slack=end_slack)

@@ -68,12 +68,18 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
 
     def boundary_row0(d):
         # H[0, j=d]
-        if free_ends:
+        if free_ends or mode == "fit":
             return jnp.where(d <= tlen, 0, NEG)
         return jnp.where(d == 0, 0, NEG)  # extend
 
-    def boundary_col0():
-        return jnp.int32(0) if free_ends else jnp.int32(NEG)
+    def boundary_col0(d=1):
+        # H[i=d, 0]
+        if free_ends:
+            return jnp.int32(0)
+        if mode == "fit":  # leading query gap: -(go + (i-1)*ge)
+            return jnp.int32(-params.gap_open) - \
+                (jnp.asarray(d, jnp.int32) - 1) * params.gap_extend
+        return jnp.int32(NEG)
 
     # init state at d=1
     Hm2 = jnp.where(lane == 0, 0, NEG) * jnp.ones((B, 1), jnp.int32)  # d=0
@@ -114,12 +120,15 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
         row0 = boundary_row0(jnp.full((B,), d, jnp.int32))
         H = jnp.where(lane == 0, row0[:, None], H)
         col0_ok = (lane == d) & (lane <= qlen[:, None])
-        H = jnp.where(col0_ok, boundary_col0(), H)
+        H = jnp.where(col0_ok, boundary_col0(d), H)
 
         # best tracking
         if mode == "overlap":
             endcell = valid & ((lane >= qlen[:, None] - end_slack) |
                                (j >= tlen[:, None] - end_slack))
+            cand = jnp.where(endcell, H, NEG)
+        elif mode == "fit":
+            endcell = valid & (lane == qlen[:, None])
             cand = jnp.where(endcell, H, NEG)
         else:
             cand = jnp.where(valid, H, NEG)
@@ -137,6 +146,13 @@ def sw_batch(q, qlen, t, tlen, params: SWParams = SWParams(),
         step, (Hm2, Hm1, Em1, Fm1, tr, best0), ds)
 
     score, bi, bd = best
+    if mode == "fit":
+        # oracle also considers the all-gap cell H[qlen, 0]
+        fb = -(params.gap_open + (qlen - 1) * params.gap_extend)
+        empty = score < fb
+        score = jnp.where(empty, fb, score)
+        bi = jnp.where(empty, qlen, bi)
+        bd = jnp.where(empty, qlen, bd)
     if mode == "extend":
         # oracle includes the (0,0) origin (score 0) as a candidate
         empty = score < 0

@@ -110,31 +110,46 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
     score, qend, tend = sw_pairs(
         q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "local",
         use_pallas=use_pallas)
+    # second pass: query-global ("fit") alignments supply the UNCLIP
+    # candidates bwa -a reports even when the best LOCAL hit trims a
+    # flank end (reference combos need UNCLIP entries,
+    # pick_contigs.py:171-282)
+    fscore, fqend, ftend = sw_pairs(
+        q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "fit",
+        use_pallas=use_pallas)
 
     hits: list[list[FlankHit]] = [[] for _ in range(G)]
     for i in range(len(pg)):
-        if score[i] < min_score:
-            continue
         g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
         qlen = int(ql_batch[i])
-        qstart, tstart, m_sum = sw_host.alignment_stats(
-            q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
-            BWA_PARAMS, "local", int(qend[i]), int(tend[i]))
-        lcl = qstart > 0
-        rcl = int(qend[i]) < qlen
-        if lcl and rcl:
-            ct = BOTH_CLIP
-        elif lcl:
-            ct = LEFT_CLIP
-        elif rcl:
-            ct = RIGHT_CLIP
-        else:
-            ct = UNCLIP
-        hits[g].append(FlankHit(
-            contig=c, side="left" if qi < 2 else "right", rc=bool(qi % 2),
-            score=int(score[i]), map_pos=tstart + 1, match_len=m_sum,
-            clip_type=ct, qstart=qstart, qend=int(qend[i]),
-            tend=int(tend[i])))
+        side = "left" if qi < 2 else "right"
+        rc = bool(qi % 2)
+        if score[i] >= min_score:
+            qstart, tstart, m_sum = sw_host.alignment_stats(
+                q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
+                BWA_PARAMS, "local", int(qend[i]), int(tend[i]))
+            lcl = qstart > 0
+            rcl = int(qend[i]) < qlen
+            if lcl and rcl:
+                ct = BOTH_CLIP
+            elif lcl:
+                ct = LEFT_CLIP
+            elif rcl:
+                ct = RIGHT_CLIP
+            else:
+                ct = UNCLIP
+            hits[g].append(FlankHit(
+                contig=c, side=side, rc=rc, score=int(score[i]),
+                map_pos=tstart + 1, match_len=m_sum, clip_type=ct,
+                qstart=qstart, qend=int(qend[i]), tend=int(tend[i])))
+        if fscore[i] >= min_score and fscore[i] != score[i]:
+            qstart, tstart, m_sum = sw_host.alignment_stats(
+                q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
+                BWA_PARAMS, "fit", int(fqend[i]), int(ftend[i]))
+            hits[g].append(FlankHit(
+                contig=c, side=side, rc=rc, score=int(fscore[i]),
+                map_pos=tstart + 1, match_len=m_sum, clip_type=UNCLIP,
+                qstart=0, qend=qlen, tend=int(ftend[i])))
     return hits
 
 
