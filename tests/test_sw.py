@@ -79,6 +79,42 @@ def test_sw_n_never_matches():
     assert int(s[0]) == 0  # local alignment of all-N = empty
 
 
+@pytest.mark.parametrize("params", [SWParams(), SWParams(1, -4, 7, 1)])
+def test_sw_fit_mode_matches_oracle(rng, params):
+    B, Lq, Lt = 10, 24, 40
+    qpad, qlen, tpad, tlen, qs, ts = _rand_pairs(rng, B, Lq, Lt)
+    score, qend, tend = sw_xla.sw_batch(
+        jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(tpad),
+        jnp.asarray(tlen), params, "fit")
+    score, qend, tend = map(np.asarray, (score, qend, tend))
+    for b in range(B):
+        want, _, _, H = sw_host.sw_np(qs[b], ts[b], params, "fit")
+        assert score[b] == want, (b, score[b], want)
+        assert qend[b] == len(qs[b])       # query fully consumed
+        assert H[qend[b], tend[b]] == want
+
+
+def test_sw_fit_full_query_with_clipped_local():
+    # target contains the query except its last 3 bases mismatch:
+    # local trims them; fit must keep the whole query aligned
+    q = dna_codes("ACGTACGTACGTTTT")
+    t = dna_codes("GGACGTACGTACGAAAGG")
+    p = SWParams(1, -1, 2, 1)
+    s_loc, qe_loc, _ = sw_xla.sw_batch(
+        jnp.asarray(q[None]), jnp.asarray([len(q)], jnp.int32),
+        jnp.asarray(t[None]), jnp.asarray([len(t)], jnp.int32), p, "local")
+    s_fit, qe_fit, _ = sw_xla.sw_batch(
+        jnp.asarray(q[None]), jnp.asarray([len(q)], jnp.int32),
+        jnp.asarray(t[None]), jnp.asarray([len(t)], jnp.int32), p, "fit")
+    assert int(qe_loc[0]) < len(q)          # local clipped the tail
+    assert int(qe_fit[0]) == len(q)         # fit consumed it
+
+
+def dna_codes(s):
+    from gappadder_tpu import dna
+    return dna.encode(s)
+
+
 def test_traceback_cigar():
     q = np.array([0, 1, 2, 3, 0, 1], np.int8)
     t = np.array([0, 1, 3, 0, 1], np.int8)  # deletion of G relative to q
