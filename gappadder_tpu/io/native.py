@@ -56,6 +56,16 @@ def _load():
     lib.fastq_names_len.argtypes = [ctypes.c_void_p]
     lib.fastq_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.fastq_close.argtypes = [ctypes.c_void_p]
+    lib.bam_stream_open.restype = ctypes.c_void_p
+    lib.bam_stream_open.argtypes = [ctypes.c_char_p]
+    lib.bam_stream_refs_len.restype = ctypes.c_int64
+    lib.bam_stream_refs_len.argtypes = [ctypes.c_void_p]
+    lib.bam_stream_copy_refs.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.bam_stream_next.restype = ctypes.c_int64
+    lib.bam_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.bam_stream_copy.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    lib.bam_stream_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -89,6 +99,45 @@ def read_bam_native(path: str):
             "lclip", "rclip", "nmatch", "read_len")
     kw = {k: cols[i].copy() for i, k in enumerate(keys)}
     return Alignments(**kw, name_hash=hashes, refs=refs, names=None)
+
+
+def stream_bam_native(path: str, chunk_records: int = 1 << 20):
+    """Bounded-memory BAM reader: yields io.bam.Alignments chunks.
+
+    Returns None when the native library is unavailable. Only the
+    BGZF block currently being decoded (plus a small carry) is held in
+    memory — suitable for production-scale BAMs."""
+    lib = _load()
+    if lib is None:
+        return None
+
+    def gen():
+        h = lib.bam_stream_open(path.encode())
+        if not h:
+            raise IOError(f"cannot open BAM stream: {path}")
+        try:
+            rl = lib.bam_stream_refs_len(h)
+            buf = ctypes.create_string_buffer(max(int(rl), 1))
+            lib.bam_stream_copy_refs(h, buf)
+            refs = buf.raw[:rl].decode().split("\n") if rl else []
+            from .bam import Alignments
+            keys = ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+                    "lclip", "rclip", "nmatch", "read_len")
+            while True:
+                n = int(lib.bam_stream_next(h, chunk_records))
+                if n <= 0:
+                    break
+                cols = np.empty((11, n), np.int32)
+                hashes = np.empty(n, np.uint64)
+                lib.bam_stream_copy(h, cols.ctypes.data_as(ctypes.c_void_p),
+                                    hashes.ctypes.data_as(ctypes.c_void_p))
+                kw = {k: cols[i].copy() for i, k in enumerate(keys)}
+                yield Alignments(**kw, name_hash=hashes, refs=refs,
+                                 names=None)
+        finally:
+            lib.bam_stream_close(h)
+
+    return gen()
 
 
 def read_fastq_native(path: str):

@@ -32,8 +32,27 @@ from ..io import fasta, fastq, native
 from ..ops import classify, intervals
 
 
+STREAM_THRESHOLD = 1 << 30   # >1GB BAMs decode via the streaming path
+
+
 def read_bam_any(path: str) -> bam_io.Alignments:
-    """Native (C++) decoder when built, else the pure-Python reader."""
+    """Native (C++) decoder when built, else the pure-Python reader.
+
+    Files above STREAM_THRESHOLD decode through the chunked streaming
+    reader: only one BGZF block (plus a record carry) is inflated at a
+    time, so peak memory is the columnar output (~52 B/record), not the
+    whole decompressed BAM."""
+    if os.path.getsize(path) > STREAM_THRESHOLD:
+        gen = native.stream_bam_native(path)
+        if gen is not None:
+            chunks = list(gen)
+            if chunks:
+                cat = {k: np.concatenate([getattr(c, k) for c in chunks])
+                       for k in ("tid", "pos", "flag", "mapq", "mtid",
+                                 "mpos", "tlen", "lclip", "rclip",
+                                 "nmatch", "read_len", "name_hash")}
+                return bam_io.Alignments(refs=chunks[0].refs, names=None,
+                                         **cat)
     aln = native.read_bam_native(path)
     return aln if aln is not None else bam_io.read_bam(path)
 

@@ -135,7 +135,189 @@ struct Decoded {
 
 }  // namespace
 
+// ---------------- streaming BAM reader ----------------
+// Bounded-memory path for production-scale BAMs: the BGZF block table
+// is built from the file (header reads + seeks only), then records
+// decode chunk by chunk with a carry buffer for records spanning
+// block boundaries.
+struct BamStream {
+  FILE* f = nullptr;
+  std::vector<Block> blocks;     // in_off/in_len valid; out_off unused
+  size_t next_block = 0;
+  std::vector<uint8_t> carry;    // undecoded bytes from previous chunk
+  std::string refs;
+  bool header_done = false;
+  // column staging for the current chunk
+  std::vector<int32_t> cols[11];
+  std::vector<uint64_t> hashes;
+};
+
+static bool stream_fill(BamStream* s, size_t want_bytes) {
+  // append inflated blocks to carry until >= want_bytes or EOF
+  while (s->carry.size() < want_bytes && s->next_block < s->blocks.size()) {
+    const Block& b = s->blocks[s->next_block++];
+    if (b.out_len == 0) continue;
+    std::vector<uint8_t> comp(b.in_len);
+    if (fseek(s->f, static_cast<long>(b.in_off), SEEK_SET) != 0) return false;
+    if (fread(comp.data(), 1, b.in_len, s->f) != b.in_len) return false;
+    size_t old = s->carry.size();
+    s->carry.resize(old + b.out_len);
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = comp.data();
+    zs.avail_in = static_cast<uInt>(b.in_len);
+    zs.next_out = &s->carry[old];
+    zs.avail_out = static_cast<uInt>(b.out_len);
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END) return false;
+  }
+  return true;
+}
+
 extern "C" {
+
+void* bam_stream_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* s = new BamStream();
+  s->f = f;
+  // scan BGZF block headers (header bytes + seeks only)
+  uint8_t hdr[12];
+  long off = 0;
+  for (;;) {
+    if (fseek(f, off, SEEK_SET) != 0) break;
+    size_t rd = fread(hdr, 1, 12, f);
+    if (rd < 12) break;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) break;
+    uint16_t xlen;
+    memcpy(&xlen, &hdr[10], 2);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, f) != xlen) break;
+    uint32_t bsize = 0;
+    size_t e = 0;
+    while (e + 4 <= extra.size()) {
+      uint16_t slen;
+      memcpy(&slen, &extra[e + 2], 2);
+      if (extra[e] == 'B' && extra[e + 1] == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, &extra[e + 4], 2);
+        bsize = static_cast<uint32_t>(bs) + 1;
+      }
+      e += 4 + slen;
+    }
+    if (bsize == 0) break;
+    if (fseek(f, off + bsize - 4, SEEK_SET) != 0) break;
+    uint32_t isize;
+    if (fread(&isize, 1, 4, f) != 4) break;
+    Block b;
+    b.in_off = static_cast<size_t>(off) + 12 + xlen;
+    b.in_len = bsize - 12 - xlen - 8;
+    b.out_off = 0;
+    b.out_len = isize;
+    s->blocks.push_back(b);
+    off += bsize;
+  }
+  if (s->blocks.empty()) { fclose(f); delete s; return nullptr; }
+  // decode the header (fill until we can parse refs)
+  if (!stream_fill(s, 1 << 16)) { fclose(f); delete s; return nullptr; }
+  auto rd_i32 = [&](size_t o) {
+    int32_t v; memcpy(&v, &s->carry[o], 4); return v;
+  };
+  if (s->carry.size() < 12 || memcmp(s->carry.data(), "BAM\x01", 4) != 0) {
+    fclose(f); delete s; return nullptr;
+  }
+  int32_t l_text = rd_i32(4);
+  size_t need = 8 + static_cast<size_t>(l_text) + 4;
+  if (!stream_fill(s, need + (1 << 20))) { fclose(f); delete s; return nullptr; }
+  size_t o = 8 + l_text;
+  int32_t n_ref = rd_i32(o);
+  o += 4;
+  for (int r = 0; r < n_ref; ++r) {
+    if (!stream_fill(s, o + (1 << 16))) break;
+    int32_t l_name = rd_i32(o);
+    if (r) s->refs.push_back('\n');
+    s->refs.append(reinterpret_cast<char*>(&s->carry[o + 4]), l_name - 1);
+    o += 4 + l_name + 4;
+  }
+  s->carry.erase(s->carry.begin(), s->carry.begin() + o);
+  s->header_done = true;
+  return s;
+}
+
+int64_t bam_stream_refs_len(void* h) {
+  return static_cast<int64_t>(static_cast<BamStream*>(h)->refs.size());
+}
+
+void bam_stream_copy_refs(void* h, char* out) {
+  auto* s = static_cast<BamStream*>(h);
+  memcpy(out, s->refs.data(), s->refs.size());
+}
+
+// Decode up to max_records records; returns the count (0 = EOF).
+// Call bam_stream_copy afterwards to fetch the staged columns.
+int64_t bam_stream_next(void* h, int64_t max_records) {
+  auto* s = static_cast<BamStream*>(h);
+  for (auto& c : s->cols) c.clear();
+  s->hashes.clear();
+  size_t o = 0;
+  while (static_cast<int64_t>(s->hashes.size()) < max_records) {
+    if (s->carry.size() - o < 4) {
+      s->carry.erase(s->carry.begin(), s->carry.begin() + o);
+      o = 0;
+      if (!stream_fill(s, 4) || s->carry.size() < 4) break;
+    }
+    int32_t bsz;
+    memcpy(&bsz, &s->carry[o], 4);
+    if (s->carry.size() - o < static_cast<size_t>(bsz) + 4) {
+      s->carry.erase(s->carry.begin(), s->carry.begin() + o);
+      o = 0;
+      if (!stream_fill(s, static_cast<size_t>(bsz) + 4) ||
+          s->carry.size() < static_cast<size_t>(bsz) + 4)
+        break;
+    }
+    const uint8_t* rec = &s->carry[o + 4];
+    auto gi = [&](size_t k) {
+      int32_t v; memcpy(&v, rec + k, 4); return v;
+    };
+    int32_t tid = gi(0), pos = gi(4);
+    uint8_t l_rn = rec[8], mapq = rec[9];
+    uint16_t n_cig; memcpy(&n_cig, rec + 12, 2);
+    uint16_t flag; memcpy(&flag, rec + 14, 2);
+    int32_t l_seq = gi(16), mtid = gi(20), mpos = gi(24), tlen = gi(28);
+    const char* name = reinterpret_cast<const char*>(rec + 32);
+    const uint8_t* cig = rec + 32 + l_rn;
+    int32_t lclip = 0, rclip = 0, nmatch = 0;
+    for (int c = 0; c < n_cig; ++c) {
+      uint32_t v; memcpy(&v, cig + 4 * c, 4);
+      uint32_t ln = v >> 4, op = v & 0xF;
+      if (op == 0 || op == 7 || op == 8) nmatch += ln;
+      if (c == 0 && (op == 4 || op == 5)) lclip = ln;
+      if (c == n_cig - 1 && (op == 4 || op == 5)) rclip = ln;
+    }
+    int32_t vals[11] = {tid, pos, flag, mapq, mtid, mpos, tlen,
+                        lclip, rclip, nmatch, l_seq};
+    for (int c = 0; c < 11; ++c) s->cols[c].push_back(vals[c]);
+    s->hashes.push_back(fnv1a(name, normalize(name, l_rn - 1)));
+    o += 4 + bsz;
+  }
+  s->carry.erase(s->carry.begin(), s->carry.begin() + o);
+  return static_cast<int64_t>(s->hashes.size());
+}
+
+void bam_stream_copy(void* h, int32_t* i32out, uint64_t* hout) {
+  auto* s = static_cast<BamStream*>(h);
+  size_t n = s->hashes.size();
+  for (int c = 0; c < 11; ++c)
+    memcpy(i32out + c * n, s->cols[c].data(), n * 4);
+  memcpy(hout, s->hashes.data(), n * 8);
+}
+
+void bam_stream_close(void* h) {
+  auto* s = static_cast<BamStream*>(h);
+  if (s->f) fclose(s->f);
+  delete s;
+}
 
 // ---------- BAM ----------
 // Opens + fully decodes a BAM; returns an opaque handle (or null).

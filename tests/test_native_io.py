@@ -66,3 +66,34 @@ def test_fastq_subset(tmp_path, rng):
     sub2 = fastq.subset_by_names(rs, ["q9", "missing", "q0"])
     assert sub2.names == [b"q9", b"q0"]
     assert sub2.n == 2
+
+
+def test_bam_stream_matches_full_read(tmp_path, rng):
+    refs = [("c1", 5000), ("c2", 900)]
+    recs = []
+    for i in range(997):  # non-round count exercises the last chunk
+        cig = [("M", int(rng.integers(20, 120)))]
+        if rng.integers(0, 2):
+            cig = [("S", int(rng.integers(1, 20)))] + cig
+        recs.append(dict(
+            name=f"sr{i}/1", flag=int(rng.choice([0x41, 0x85])),
+            tid=int(rng.integers(0, 2)), pos=int(rng.integers(0, 800)),
+            mapq=int(rng.choice([0, 60])), cigar=cig,
+            mtid=int(rng.integers(0, 2)), mpos=int(rng.integers(0, 800)),
+            tlen=int(rng.integers(-400, 400)),
+            seq="ACGT" * int(rng.integers(5, 30))))
+    path = str(tmp_path / "s.bam")
+    bam_io.write_bam(path, refs, recs)
+    full = bam_io.read_bam(path)
+    gen = native.stream_bam_native(path, chunk_records=100)
+    assert gen is not None
+    chunks = list(gen)
+    assert sum(c.n for c in chunks) == full.n
+    assert len(chunks) == 10  # 997 records in chunks of 100
+    assert chunks[0].refs == full.refs
+    for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+              "lclip", "rclip", "nmatch", "read_len"):
+        got = np.concatenate([getattr(c, k) for c in chunks])
+        np.testing.assert_array_equal(got, getattr(full, k), k)
+    got_h = np.concatenate([c.name_hash for c in chunks])
+    np.testing.assert_array_equal(got_h, full.name_hash)
