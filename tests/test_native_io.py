@@ -97,3 +97,24 @@ def test_bam_stream_matches_full_read(tmp_path, rng):
         np.testing.assert_array_equal(got, getattr(full, k), k)
     got_h = np.concatenate([c.name_hash for c in chunks])
     np.testing.assert_array_equal(got_h, full.name_hash)
+
+
+def test_read_bam_any_stream_path(tmp_path, rng, monkeypatch):
+    """The >threshold streaming route of read_bam_any returns the same
+    Alignments as the direct decoders."""
+    from gappadder_tpu.pipeline import collect as col
+    refs = [("c1", 2000)]
+    recs = [dict(name=f"x{i}", flag=0x41, tid=0,
+                 pos=int(rng.integers(0, 1900)), mapq=60,
+                 cigar=[("M", 50)], mtid=0, mpos=0, tlen=100,
+                 seq="ACGT" * 10) for i in range(200)]
+    path = str(tmp_path / "big.bam")
+    bam_io.write_bam(path, refs, recs)
+    direct = bam_io.read_bam(path)
+    monkeypatch.setattr(col, "STREAM_THRESHOLD", 0)
+    streamed = col.read_bam_any(path)
+    for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+              "lclip", "rclip", "nmatch", "read_len", "name_hash"):
+        np.testing.assert_array_equal(getattr(direct, k),
+                                      getattr(streamed, k), k)
+    assert streamed.refs == direct.refs
