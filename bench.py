@@ -8,6 +8,14 @@ alignment" = one 128x1024 local DP), with the live single-host numpy
 wavefront DP (the same algorithm the CPU reference would run) as the
 baseline.
 
+Timing methodology (IMPORTANT, see docs/kernel-notes.md): on the
+axon-tunneled TPU, jax.block_until_ready can return before the device
+finishes, so naive timing over-reports by >10x. The only trustworthy
+measure is slope timing: run K dependency-chained kernels inside ONE
+jit, force a host readback of the chained result, and take
+(time(K=65) - time(K=1)) / 64 — the tunnel round-trip cancels out and
+the data dependency prevents any elision/overlap.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -46,22 +54,38 @@ def main():
     tl = np.full(B, Lt, np.int32)
     params = SWParams(1, -4, 7, 1)
 
-    if on_tpu:
-        fn = lambda: sw_pallas.sw_batch_pallas(
-            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
-            jnp.asarray(tl), params, "local", batch_tile=256)
-    else:
-        fn = lambda: sw_xla.sw_batch(
-            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
-            jnp.asarray(tl), params, "local")
+    qd, td = jax.device_put(q), jax.device_put(t)
+    qld, tld = jax.device_put(ql), jax.device_put(tl)
 
-    jax.block_until_ready(fn())          # compile
-    t0 = time.time()
-    iters = 8
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    if on_tpu:
+        kern = lambda q, t: sw_pallas.sw_batch_pallas(
+            q, qld, t, tld, params, "local")
+    else:
+        kern = lambda q, t: sw_xla.sw_batch(q, qld, t, tld, params, "local")
+
+    def make_chain(K):
+        @jax.jit
+        def chained(q, t):
+            s = jnp.zeros((), jnp.int32)
+            for _ in range(K):
+                w = jnp.where(s < 0, 1, 0).astype(jnp.int8)  # 0 at runtime
+                sc, _, _ = kern(q + w, t)
+                s = s + sc.sum()
+            return s
+        return chained
+
+    times = {}
+    for K in (1, 65):
+        fn = make_chain(K)
+        np.asarray(fn(qd, td))                    # compile + warm
+        best = float("inf")
+        for _ in range(5):                        # best-of-5 denoises tunnel
+            t0 = time.time()
+            np.asarray(fn(qd, td))                # fetch forces completion
+            best = min(best, time.time() - t0)
+        times[K] = best
+    dt = (times[65] - times[1]) / 64
+
     cells = B * Lq * Lt
     reads_per_s = B / dt
     gcups = cells / dt / 1e9
@@ -77,7 +101,7 @@ def main():
     print(json.dumps({
         "metric": "sw_reads_aligned_per_s",
         "value": round(reads_per_s, 1),
-        "unit": f"128x1024 local DP/s ({'pallas-tpu' if on_tpu else 'xla-' + jax.default_backend()}, {gcups:.1f} GCUPS)",
+        "unit": f"128x1024 local DP/s ({'pallas-tpu' if on_tpu else 'xla-' + jax.default_backend()}, {gcups:.1f} GCUPS, slope-timed)",
         "vs_baseline": round(reads_per_s / base_reads_per_s, 1),
     }))
 

@@ -11,14 +11,37 @@ of a lane-major layout — per-step work scales with the QUERY length
 only, which is what makes short-query/long-target shapes (flank->
 contig, read->contig) fast.
 
+v4 instruction-count reduction (the kernel is VPU-issue-bound; honest
+dependency-chained timing on v5e, see docs/kernel-notes.md):
+  - carries hold PRE-SHIFTED H states (Hshm1 = shift(H_{d-1}),
+    Hshm2 = shift(H_{d-2})): two rolls per step (H, F) instead of
+    three, because shift(H_{d-2}) is just last step's Hshm1.
+  - sentinel codes: q pads/N map to 127, t pads/N to 126, so the
+    substitution score is a single compare (no `q < 4` test).
+  - wavefront validity as a row interval [lo, hi] (2 compares) instead
+    of 4 compares; F carry needs no masking at all (garbage F cells
+    only ever feed cells that are themselves invalid).
+  - per-step max/argmax reductions replaced by elementwise running
+    best per (row, pair) with first-strict-improvement d; one
+    reduction at the very end reproduces the exact (score desc,
+    d asc, i asc) tie-break of the old per-step argmax.
+  - in local mode invalid cells are left unmasked: the 0-clamp makes
+    them read back exactly as the local-restart boundary value, so
+    only the best-candidate set needs the validity select.
+  - EIGHT diagonals per loop body: one rbuf roll per 8 steps (static
+    slice offsets S-m-1 line them up), the j==0 column override and
+    the d-1 wavefront cap only exist in chunk 0 (separate pl.when
+    branch), and the bigger body gives Mosaic's scheduler ILP across
+    sub-steps. Measured on v5e (slope-timed): 1.9x over the v2
+    kernel, ~105 GCUPS at 512x128x1024 local.
+
 Target streaming: the kernel runs chunks of CS = S diagonals. For
 chunk c the wrapper precomputes a reversed 2S-row window
   rbuf0[u, b] = t_b[(c+1)*CS + 1 - u]
 so that after s in-kernel sublane rolls, rows [CS, CS+S) hold exactly
 t_b[d-1-i] for diagonal d — no dynamic slicing (Mosaic forbids it),
-just one static roll per step. DP state (H at d-1 and d-2, E, F, best)
-lives in VMEM scratch that persists across the sequential chunk grid
-dimension.
+just one static roll per step. DP state lives in VMEM scratch that
+persists across the sequential chunk grid dimension.
 
 All boundary/initial values are derived from qlen/tlen data (never
 splat constants): Mosaic's layout inference otherwise assigns
@@ -39,6 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .sw_host import SWParams
 
 NEG = -(1 << 28)
+BIG = 1 << 28
 
 
 def _round_up(x, m):
@@ -47,114 +71,150 @@ def _round_up(x, m):
 
 def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
             score_ref, qend_ref, tend_ref,
-            hm1_s, hm2_s, e_s, f_s, best_s,
+            hm1_s, hshm1_s, hshm2_s, e_s, fsh_s, besth_s, bestd_s,
             *, params: SWParams, mode: str, S: int, n_chunks: int,
             end_slack: int):
     TB = qlen_ref.shape[1]
     c = pl.program_id(1)
     go, ge = params.gap_open, params.gap_extend
+    match = jnp.int32(params.match)
+    mismatch = jnp.int32(params.mismatch)
 
     qlen = qlen_ref[0:1, :]                       # [1, TB]
     tlen = tlen_ref[0:1, :]
     row = jax.lax.broadcasted_iota(jnp.int32, (S, TB), 0)  # i index
     qreg = qreg_ref[:]                            # [S, TB] codes
+    zS = row * 0                                  # [S, TB] varying zero
+    negS = zS + NEG
+    rowm0 = row == 0
+    zrow = qlen * 0                               # [1, TB] varying zero
+    col0 = zrow if mode in ("local", "overlap") else zrow + NEG
 
     free_ends = mode in ("local", "overlap")
     clamp = mode == "local"
-    zrow = qlen * 0                               # [1, TB] varying zero
-    col0 = zrow if free_ends else zrow + NEG
 
     def row0(d):
         if free_ends:
             return jnp.where(d <= tlen, 0, NEG)
         return zrow + NEG
 
-    def shift(x, fill):
+    def shift(x):
         r = pltpu.roll(x, 1, 0)
-        return jnp.where(row == 0, fill, r)
+        return jnp.where(rowm0, negS, r)
+
+    if mode == "overlap":
+        qcut = qlen - end_slack                   # [1, TB] hoisted
+    qmask = row <= qlen                           # loop-invariant
+
+    def step(d, tr, Hm1, Hshm1, Hshm2, E, Fsh, bestH, bestD, first_chunk):
+        E = jnp.maximum(Hm1 - go, E - ge)
+        F = jnp.maximum(Hshm1 - go, Fsh - ge)
+        sc = jnp.where(qreg == tr, match, mismatch)
+        H = jnp.maximum(Hshm2 + sc, jnp.maximum(E, F))
+        if clamp:
+            H = jnp.maximum(H, 0)
+
+        # wavefront validity: lo <= row <= hi  (j = d - row in [1, tlen])
+        lo = jnp.maximum(1, d - tlen)             # [1, TB]
+        if first_chunk:
+            valid = (row >= lo) & (row <= jnp.minimum(qlen, d - 1))
+        else:
+            # steady chunks have d - 1 > S >= any row: hi == qlen
+            valid = (row >= lo) & qmask
+        if clamp:
+            # local mode: invalid cells clamp to 0 == the local-restart
+            # boundary value, so they read back harmlessly; only the
+            # candidate set needs masking
+            cand = jnp.where(valid, H, negS)
+        else:
+            H = jnp.where(valid, H, negS)
+            E = jnp.where(valid, E, negS)
+            if mode == "overlap":
+                endmask = (row >= qcut) | (row <= d - tlen + end_slack)
+                cand = jnp.where(endmask, H, negS)
+            else:
+                cand = H
+        upd = cand > bestH
+        bestH = jnp.where(upd, cand, bestH)
+        bestD = jnp.where(upd, d, bestD)
+
+        # boundary values for the next diagonals' reads; the j == 0
+        # column only exists for d <= S, i.e. within chunk 0
+        H = jnp.where(rowm0, row0(d), H)
+        if first_chunk:
+            H = jnp.where(row == d, col0, H)
+        return H, shift(H), E, shift(F), bestH, bestD
+
+    def run_loop(first_chunk):
+        carry = (hm1_s[:], hshm1_s[:], hshm2_s[:], e_s[:], fsh_s[:],
+                 rbuf_ref[0], besth_s[:], bestd_s[:])
+
+        def body(k, carry):
+            Hm1, Hshm1, Hshm2, E, Fsh, rbuf, bestH, bestD = carry
+            d = c * S + 8 * k + 2
+            # one roll per EIGHT diagonals: before the roll, row
+            # S - m - 1 + i holds t[d+m-1-i] for sub-step m
+            trs = [jax.lax.slice_in_dim(rbuf, S - m - 1, 2 * S - m - 1,
+                                        axis=0) for m in range(8)]
+            rbuf = pltpu.roll(rbuf, 8, 0)
+            Hsh2 = Hshm2
+            for m in range(8):
+                Hm1, Hshm1_new, E, Fsh, bestH, bestD = step(
+                    d + m, trs[m], Hm1, Hshm1, Hsh2, E, Fsh, bestH,
+                    bestD, first_chunk)
+                Hsh2 = Hshm1
+                Hshm1 = Hshm1_new
+            return (Hm1, Hshm1, Hsh2, E, Fsh, rbuf, bestH, bestD)
+
+        out = jax.lax.fori_loop(0, S // 8, body, carry)
+        hm1_s[:] = out[0]
+        hshm1_s[:] = out[1]
+        hshm2_s[:] = out[2]
+        e_s[:] = out[3]
+        fsh_s[:] = out[4]
+        besth_s[:] = out[6]
+        bestd_s[:] = out[7]
 
     # ---- chunk start: init or reload carried state ----------------------
     @pl.when(c == 0)
     def _():
-        hm2 = jnp.where(row == 0, 0, NEG) + zrow          # diag d=0
-        hm1 = jnp.where(row == 0, row0(jnp.ones_like(tlen)), NEG + zrow)
+        hm2 = jnp.where(rowm0, 0, negS)                    # diag d=0
+        hm1 = jnp.where(rowm0, row0(jnp.ones_like(tlen)), negS)
         hm1 = jnp.where((row == 1) & (qlen >= 1), col0, hm1)
-        hm2_s[:] = hm2
         hm1_s[:] = hm1
-        e_s[:] = zrow + jnp.full((S, TB), NEG, jnp.int32)
-        f_s[:] = zrow + jnp.full((S, TB), NEG, jnp.int32)
-        best_s[:] = jnp.concatenate(
-            [zrow + NEG, zrow, zrow,
-             jnp.broadcast_to(zrow, (5, TB))], axis=0)
+        hshm1_s[:] = shift(hm1)
+        hshm2_s[:] = shift(hm2)
+        e_s[:] = negS
+        fsh_s[:] = negS
+        besth_s[:] = negS
+        bestd_s[:] = zS
+        run_loop(True)
 
-    Hm2 = hm2_s[:]
-    Hm1 = hm1_s[:]
-    Em1 = e_s[:]
-    Fm1 = f_s[:]
-    bs = best_s[0:1, :]
-    bi = best_s[1:2, :]
-    bd = best_s[2:3, :]
-    rbuf = rbuf_ref[0]                            # [2S, TB]
+    @pl.when(c != 0)
+    def _():
+        run_loop(False)
 
-    def body(s, carry):
-        Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd = carry
-        d = c * S + s + 2
-        rbuf = pltpu.roll(rbuf, 1, 0)
-        tr = jax.lax.slice_in_dim(rbuf, S, 2 * S, axis=0)  # [S, TB]
-
-        E = jnp.maximum(Hm1 - go, Em1 - ge)
-        F = jnp.maximum(shift(Hm1, NEG + zrow) - go,
-                        shift(Fm1, NEG + zrow) - ge)
-        sc = jnp.where((qreg == tr) & (qreg < 4),
-                       jnp.int32(params.match), jnp.int32(params.mismatch))
-        H = jnp.maximum(shift(Hm2, NEG + zrow) + sc, jnp.maximum(E, F))
-        if clamp:
-            H = jnp.maximum(H, 0)
-
-        j = d - row
-        valid = (row >= 1) & (row <= qlen) & (j >= 1) & (j <= tlen)
-        H = jnp.where(valid, H, NEG)
-        E = jnp.where(valid, E, NEG)
-        F = jnp.where(valid, F, NEG)
-        H = jnp.where(row == 0, row0(d * jnp.ones_like(tlen)), H)
-        H = jnp.where((row == d) & (row <= qlen), col0, H)
-
-        if mode == "overlap":
-            endcell = valid & ((row >= qlen - end_slack) |
-                               (j >= tlen - end_slack))
-            cand = jnp.where(endcell, H, NEG)
-        else:
-            cand = jnp.where(valid, H, NEG)
-        m = jnp.max(cand, axis=0, keepdims=True)            # [1, TB]
-        am = jnp.argmax(cand.astype(jnp.float32), axis=0)
-        am = am.astype(jnp.int32)[None, :]
-        upd = m > bs
-        bs = jnp.where(upd, m, bs)
-        bi = jnp.where(upd, am, bi)
-        bd = jnp.where(upd, d, bd)
-        return (Hm1, H, E, F, rbuf, bs, bi, bd)
-
-    carry = (Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd)
-    Hm2, Hm1, Em1, Fm1, rbuf, bs, bi, bd = jax.lax.fori_loop(
-        0, S, body, carry)
-
-    hm2_s[:] = Hm2
-    hm1_s[:] = Hm1
-    e_s[:] = Em1
-    f_s[:] = Fm1
-    best_s[0:1, :] = bs
-    best_s[1:2, :] = bi
-    best_s[2:3, :] = bd
+    bestH = besth_s[:]
+    bestD = bestd_s[:]
 
     @pl.when(c == n_chunks - 1)
     def _():
-        empty = bs < 0
+        # exact (score desc, d asc, i asc) tie-break of the per-step
+        # argmax formulation, reduced once instead of every step
+        m = jnp.max(bestH, axis=0, keepdims=True)            # [1, TB]
+        elig = bestH == m
+        dmin = jnp.min(jnp.where(elig, bestD, zS + BIG), axis=0,
+                       keepdims=True)
+        isel = jnp.where(elig & (bestD == dmin), row, zS + BIG)
+        imin = jnp.min(isel, axis=0, keepdims=True)
+
+        empty = m < 0
         # negative best: oracle falls back to H[qlen, 0] = 0 for
         # overlap (free leading gap) and the (0, 0) origin otherwise
         fb_q = qlen if mode == "overlap" else zrow
-        score_ref[:] = jnp.where(empty, 0, bs)
-        qend_ref[:] = jnp.where(empty, fb_q, bi)
-        tend_ref[:] = jnp.where(empty, 0, bd - bi)
+        score_ref[:] = jnp.where(empty, 0, m)
+        qend_ref[:] = jnp.where(empty, fb_q, imin)
+        tend_ref[:] = jnp.where(empty, 0, dmin - imin)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "mode", "batch_tile",
@@ -182,12 +242,14 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     S = _round_up(Lq + 1, 8)
     steps = Lq + Lt - 1                    # d = 2 .. Lq+Lt
     n_chunks = -(-steps // S)
-    TB = 128
+    TB = batch_tile
     Bp = _round_up(max(B, 1), TB)
     nbt = Bp // TB
 
-    q32 = q.astype(jnp.int32)
-    t32 = t.astype(jnp.int32)
+    # sentinel codes: q-side non-ACGT/pad -> 127, t-side -> 126, so the
+    # in-kernel substitution test is a single equality compare
+    q32 = jnp.where(q < 4, q, 127).astype(jnp.int32)
+    t32 = jnp.where(t < 4, t, 126).astype(jnp.int32)
     # qreg [S, Bp]: row i holds q[b, i-1], row 0 sentinel
     qreg = jnp.full((S, Bp), 127, jnp.int32)
     qreg = qreg.at[1:Lq + 1, :B].set(q32.T)
@@ -200,9 +262,9 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     okpos = (tpos >= 0) & (tpos < Lt)
     tp = jnp.where(okpos, tpos, 0)
     rbuf = jnp.where(okpos[..., None],
-                     jnp.take(t32, tp, axis=1).transpose(1, 2, 0), 127)
+                     jnp.take(t32, tp, axis=1).transpose(1, 2, 0), 126)
     rbuf = jnp.concatenate(
-        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 127, jnp.int32)], axis=2)
+        [rbuf, jnp.full((n_chunks, 2 * S, Bp - B), 126, jnp.int32)], axis=2)
 
     qlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(qlen.astype(jnp.int32))
     tlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(tlen.astype(jnp.int32))
@@ -228,10 +290,12 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
         out_specs=[lane_spec] * 3,
         scratch_shapes=[
             pltpu.VMEM((S, TB), jnp.int32),   # Hm1
-            pltpu.VMEM((S, TB), jnp.int32),   # Hm2
+            pltpu.VMEM((S, TB), jnp.int32),   # Hshm1
+            pltpu.VMEM((S, TB), jnp.int32),   # Hshm2
             pltpu.VMEM((S, TB), jnp.int32),   # E
-            pltpu.VMEM((S, TB), jnp.int32),   # F
-            pltpu.VMEM((8, TB), jnp.int32),   # best (rows 0..2)
+            pltpu.VMEM((S, TB), jnp.int32),   # Fsh
+            pltpu.VMEM((S, TB), jnp.int32),   # bestH
+            pltpu.VMEM((S, TB), jnp.int32),   # bestD
         ],
         interpret=interpret,
     )(qlp, tlp, qreg, rbuf)
