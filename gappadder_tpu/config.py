@@ -61,6 +61,8 @@ class Config:
     min_contig_len: int = 40         # velvetg -min_contig_lgth 40
     min_kmer_count: int = 0          # kmc -ci equivalent; -1 = adaptive
                                      # error filter (see assemble.py)
+    bubble_pop_rounds: int = 0       # coverage-guided DBG bubble popping
+                                     # (tour-bus equivalent, ops/dbg.py)
     pick_min_score_round1: int = 30  # assemble_gaps.py:336
     pick_min_score_final: int = 15   # assemble_gaps.py:365
     dedup_cutoff: float = 0.99       # MergeContigs.py:73-99
@@ -125,7 +127,8 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
     kwargs: dict[str, Any] = {}
     for field in ("min_gap_size", "flank_length", "nthreads", "anchor_mapq",
                   "clip_dist", "flank_margin", "long_insert_threshold",
-                  "high_quality_mapq", "min_contig_len", "min_kmer_count"):
+                  "high_quality_mapq", "min_contig_len", "min_kmer_count",
+                  "bubble_pop_rounds"):
         if field in params:
             kwargs[field] = int(params[field])
     if "verbose" in params:

@@ -18,6 +18,14 @@ gaps assemble in parallel on device:
            as code arrays; reverse-complement twins deduplicated by
            keeping the lexicographically smaller strand.
 
+Optional coverage-guided bubble popping (`pop_bubbles` rounds) is the
+array-ops equivalent of Velvet's tour-bus: when two short parallel
+chains leave the same fork and rejoin at the same node, the branch
+with the lower minimum k-mer coverage (a sequencing-error path) is
+deleted, letting the fork/winner/join chains fuse into one unitig on
+the next round. Coverage comes from the per-k-mer multiplicities the
+counting stage already produces (`kcounts`).
+
 Everything is O(E log E) sorts + gathers/scatters + O(log N) doubling
 steps; one gap is one vmap lane, so a [G, ...] batch runs as one XLA
 program (SURVEY.md §7 "hard parts" #1).
@@ -130,53 +138,16 @@ def _join_ids_safe(node_keys, query_keys):
     return out[:Q]
 
 
-def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
-                            max_unitigs: int, max_len: int, min_len: int):
-    """Assemble one gap's distinct k-mer strings into unitigs.
+def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
+                  sub_k: int):
+    """Degrees + chain-edge compaction by pointer doubling.
 
-    Args:
-      kstrings: int8 [M, k] distinct k-mer strings (rows >= n_kstrings
-        are padding and ignored).
-      n_kstrings: int32 scalar.
-      sub_k: DBG node size (< k).
-      max_unitigs / max_len: static output bounds (longest unitigs win).
-      min_len: drop unitigs shorter than this (velvetg -min_contig_lgth).
-
-    Returns:
-      seqs: int8 [max_unitigs, max_len] (N-padded),
-      lens: int32 [max_unitigs],
-      count: int32 scalar.
+    Factored so bubble-pop rounds can recompute the chain structure
+    after deleting branches. Returns a dict of the per-graph arrays the
+    popping and emission passes need.
     """
-    M, kk = kstrings.shape
-    assert kk == k and sub_k < k
-    row_valid = jnp.arange(M) < n_kstrings
-    fwd = jnp.where(row_valid[:, None], kstrings, dna.N)
-    rc = dna.revcomp_jnp(fwd)  # padding N stays N
-    both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
-    blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
-
-    # ---- nodes & edges ---------------------------------------------------
-    nlimb, _ = kmers.extract_kmers(both, blen, sub_k)         # [2M, P1, nl]
-    node_keys, n_nodes = _unique_compact(
-        nlimb.reshape(-1, nlimb.shape[-1])[None])             # [1, Pn, nl]
-    node_keys, n_nodes = node_keys[0], n_nodes[0]
-    N = node_keys.shape[0]
-
-    elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
-    edge_keys, n_edges = _unique_compact(
-        elimb.reshape(-1, elimb.shape[-1])[None])
-    edge_keys, n_edges = edge_keys[0], n_edges[0]
-    E = edge_keys.shape[0]
-    edge_valid = jnp.arange(E) < n_edges
-
-    u_keys = _prefix_kmer(edge_keys, sub_k)
-    v_keys = _suffix_kmer(edge_keys, sub_k)
-    u_id = _join_ids_safe(node_keys, u_keys)
-    v_id = _join_ids_safe(node_keys, v_keys)
-    u_id = jnp.where(edge_valid, u_id, N)
-    v_id = jnp.where(edge_valid, v_id, N)
-
-    # ---- degrees & chain edges ------------------------------------------
+    u_id = jnp.where(edge_valid, u_id_raw, N)
+    v_id = jnp.where(edge_valid, v_id_raw, N)
     outdeg = jnp.zeros(N + 1, jnp.int32).at[u_id].add(1, mode="drop")
     indeg = jnp.zeros(N + 1, jnp.int32).at[v_id].add(1, mode="drop")
     chain = edge_valid & (outdeg[u_id] == 1) & (indeg[v_id] == 1)
@@ -185,7 +156,6 @@ def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
     prev = prev.at[jnp.where(chain, v_id, N)].set(
         jnp.where(chain, u_id, N), mode="drop")
     is_head = prev[:N] == jnp.arange(N)     # no incoming chain edge
-    node_valid = jnp.arange(N) < n_nodes
     is_head = is_head & node_valid
 
     # ---- pointer doubling: find head + cycle break ----------------------
@@ -207,19 +177,173 @@ def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
         p2 = p2[p2]
     rep = p2                                 # head node of each chain
 
-    # ---- unitig lengths & ranking ---------------------------------------
     chain_nodes = jnp.zeros(N + 1, jnp.int32).at[
         jnp.where(node_valid, rep, N)].max(off + 1, mode="drop")
     ulen_all = jnp.where(new_head, sub_k + chain_nodes[:N] - 1, -1)
+    tail_of = jnp.full(N + 1, -1, jnp.int32).at[
+        jnp.where(node_valid & (off == chain_nodes[rep] - 1), rep, N)
+    ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")[:N]
+    return dict(u_id=u_id, v_id=v_id, outdeg=outdeg, indeg=indeg,
+                chain=chain, is_head=is_head, new_head=new_head, rep=rep,
+                off=off, chain_nodes=chain_nodes, ulen_all=ulen_all,
+                tail_of=tail_of)
+
+
+def _node_coverage(node_keys, occ_limbs, occ_valid, row_counts):
+    """Coverage of each DBG node: sum of source-string multiplicities
+    over every occurrence of the node's sub_k-mer.
+
+    occ_limbs: [R, P, nl] sub_k-mer occurrences; occ_valid: [R, P];
+    row_counts: int32 [R] multiplicity of each source string.
+    """
+    nl = occ_limbs.shape[-1]
+    flat = occ_limbs.reshape(-1, nl)
+    fval = occ_valid.reshape(-1)
+    w = jnp.broadcast_to(row_counts[:, None], occ_valid.shape).reshape(-1)
+    ids = _join_ids_safe(node_keys, flat)
+    N = node_keys.shape[0]
+    cov = jnp.zeros(N + 1, jnp.int32).at[
+        jnp.where(fval, ids, N)].add(jnp.where(fval, w, 0), mode="drop")
+    return cov[:N]
+
+
+def _pop_bubbles_round(g, cov, edge_valid, node_valid, N: int,
+                       max_bubble_len: int):
+    """One tour-bus round: delete the lowest-min-coverage branch of
+    every simple bubble (two clean chains sharing fork and join).
+
+    A branch is a proper chain head h with a unique in-edge from a fork
+    f (outdeg>=2) whose tail t has a unique out-edge into a join j
+    (indeg>=2), of limited length. Branches grouped by (f, j); the one
+    with the highest minimum node coverage survives (ties: smaller head
+    id). Returns updated (node_valid, edge_valid).
+    """
+    idxN = jnp.arange(N, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    # min node coverage per chain, keyed by head
+    chaincov = jnp.full(N + 1, big, jnp.int32).at[
+        jnp.where(node_valid, g["rep"], N)].min(
+        jnp.where(node_valid, cov, big), mode="drop")[:N]
+    # unique in-edge source / unique out-edge target (valid only where
+    # the corresponding degree is exactly 1 — callers check degrees)
+    in1 = jnp.full(N + 1, -1, jnp.int32).at[g["v_id"]].max(
+        jnp.where(edge_valid, g["u_id"], -1), mode="drop")[:N]
+    next1 = jnp.full(N + 1, -1, jnp.int32).at[g["u_id"]].max(
+        jnp.where(edge_valid, g["v_id"], -1), mode="drop")[:N]
+
+    indeg, outdeg = g["indeg"], g["outdeg"]
+    f = in1
+    fc = jnp.clip(f, 0, N - 1)
+    t = g["tail_of"]
+    tc = jnp.clip(t, 0, N - 1)
+    j = next1[tc]
+    cand = (g["is_head"] & node_valid
+            & (indeg[:N] == 1) & (f >= 0) & (f != idxN)
+            & (outdeg[fc] >= 2)
+            & (t >= 0) & (outdeg[tc] == 1) & (j >= 0)
+            & (indeg[jnp.clip(j, 0, N - 1)] >= 2)
+            & (g["ulen_all"] <= max_bubble_len))
+
+    # group branches by (fork, join); winner = first after sorting by
+    # (f, j, -min_cov, head id)
+    fkey = jnp.where(cand, f, N + 1)
+    jkey = jnp.where(cand, j, N + 1)
+    negcov = jnp.where(cand, -chaincov, 0)
+    sf, sj, _, sh = jax.lax.sort((fkey, jkey, negcov, idxN),
+                                 dimension=0, num_keys=4)
+    same = (sf == jnp.roll(sf, 1)) & (sj == jnp.roll(sj, 1))
+    same = same.at[0].set(False)
+    loser_sorted = same & (sf <= N)
+    loser_head = jnp.zeros(N + 1, bool).at[
+        jnp.where(loser_sorted, sh, N)].set(True, mode="drop")[:N]
+
+    removed = node_valid & loser_head[g["rep"]]
+    node_valid = node_valid & ~removed
+    removed_p = jnp.concatenate([removed, jnp.zeros(1, bool)])
+    edge_valid = edge_valid & ~removed_p[g["u_id"]] & ~removed_p[g["v_id"]]
+    return node_valid, edge_valid
+
+
+def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
+                            sub_k: int, max_unitigs: int, max_len: int,
+                            min_len: int, pop_bubbles: int = 0,
+                            max_bubble_len: int | None = None):
+    """Assemble one gap's distinct k-mer strings into unitigs.
+
+    Args:
+      kstrings: int8 [M, k] distinct k-mer strings (rows >= n_kstrings
+        are padding and ignored).
+      n_kstrings: int32 scalar.
+      kcounts: optional int32 [M] multiplicity of each k-string in the
+        reads (from the counting stage); used as bubble-pop coverage.
+      sub_k: DBG node size (< k).
+      max_unitigs / max_len: static output bounds (longest unitigs win).
+      min_len: drop unitigs shorter than this (velvetg -min_contig_lgth).
+      pop_bubbles: number of coverage-guided bubble-pop rounds (0 = off;
+        the Velvet tour-bus equivalent, see module docstring).
+      max_bubble_len: max branch length in bases to consider a bubble
+        (default 2*(sub_k+1), covering SNP/small-indel error bubbles).
+
+    Returns:
+      seqs: int8 [max_unitigs, max_len] (N-padded),
+      lens: int32 [max_unitigs],
+      count: int32 scalar.
+    """
+    M, kk = kstrings.shape
+    assert kk == k and sub_k < k
+    row_valid = jnp.arange(M) < n_kstrings
+    fwd = jnp.where(row_valid[:, None], kstrings, dna.N)
+    rc = dna.revcomp_jnp(fwd)  # padding N stays N
+    both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
+    blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
+
+    # ---- nodes & edges ---------------------------------------------------
+    nlimb, nval = kmers.extract_kmers(both, blen, sub_k)      # [2M, P1, nl]
+    node_keys, n_nodes = _unique_compact(
+        nlimb.reshape(-1, nlimb.shape[-1])[None])             # [1, Pn, nl]
+    node_keys, n_nodes = node_keys[0], n_nodes[0]
+    N = node_keys.shape[0]
+
+    elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
+    edge_keys, n_edges = _unique_compact(
+        elimb.reshape(-1, elimb.shape[-1])[None])
+    edge_keys, n_edges = edge_keys[0], n_edges[0]
+    E = edge_keys.shape[0]
+    edge_valid = jnp.arange(E) < n_edges
+    node_valid = jnp.arange(N) < n_nodes
+
+    u_keys = _prefix_kmer(edge_keys, sub_k)
+    v_keys = _suffix_kmer(edge_keys, sub_k)
+    u_id_raw = _join_ids_safe(node_keys, u_keys)
+    v_id_raw = _join_ids_safe(node_keys, v_keys)
+
+    # ---- bubble popping (tour-bus equivalent) ----------------------------
+    if pop_bubbles > 0:
+        if kcounts is None:
+            row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
+        else:
+            row_counts = jnp.where(row_valid, kcounts, 0).astype(jnp.int32)
+        row_counts = jnp.concatenate([row_counts, row_counts])
+        cov = _node_coverage(node_keys, nlimb, nval, row_counts)
+        mbl = 2 * (sub_k + 1) if max_bubble_len is None else max_bubble_len
+        for _ in range(pop_bubbles):
+            g = _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid,
+                              N, sub_k)
+            node_valid, edge_valid = _pop_bubbles_round(
+                g, cov, edge_valid, node_valid, N, mbl)
+
+    g = _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N, sub_k)
+    u_id, v_id = g["u_id"], g["v_id"]
+    outdeg, indeg = g["outdeg"], g["indeg"]
+    new_head, rep, off = g["new_head"], g["rep"], g["off"]
+    chain_nodes, ulen_all, tail_of = (g["chain_nodes"], g["ulen_all"],
+                                      g["tail_of"])
 
     # Velvet-style tip clipping: a SHORT chain (< 2*(sub_k+1), Velvet's
     # default max tip length 2k) that dangles dead at one end AND whose
     # attached junction has an ALTERNATIVE continuation is a
     # sequencing-error spur. A dead end with no competing branch is a
     # legitimate sequence end and is kept.
-    tail_of = jnp.full(N + 1, -1, jnp.int32).at[
-        jnp.where(node_valid & (off == chain_nodes[rep] - 1), rep, N)
-    ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")[:N]
     head_dead = indeg[:N] == 0
     tailc = jnp.clip(tail_of, 0, N - 1)
     tail_dead = jnp.where(tail_of >= 0, outdeg[tailc] == 0, True)
@@ -284,15 +408,22 @@ def assemble_unitigs_single(kstrings, n_kstrings, *, k: int, sub_k: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sub_k", "max_unitigs",
-                                             "max_len", "min_len"))
-def assemble_unitigs(kstrings, n_kstrings, *, k: int, sub_k: int,
-                     max_unitigs: int = 64, max_len: int = 1024,
-                     min_len: int = 40):
-    """Batched over gaps: kstrings [G, M, k], n_kstrings [G]."""
+                                             "max_len", "min_len",
+                                             "pop_bubbles",
+                                             "max_bubble_len"))
+def assemble_unitigs(kstrings, n_kstrings, kcounts=None, *, k: int,
+                     sub_k: int, max_unitigs: int = 64, max_len: int = 1024,
+                     min_len: int = 40, pop_bubbles: int = 0,
+                     max_bubble_len: int | None = None):
+    """Batched over gaps: kstrings [G, M, k], n_kstrings [G],
+    kcounts optional [G, M]."""
     fn = functools.partial(assemble_unitigs_single, k=k, sub_k=sub_k,
                            max_unitigs=max_unitigs, max_len=max_len,
-                           min_len=min_len)
-    return jax.vmap(fn)(kstrings, n_kstrings)
+                           min_len=min_len, pop_bubbles=pop_bubbles,
+                           max_bubble_len=max_bubble_len)
+    if kcounts is None:
+        return jax.vmap(lambda a, b: fn(a, b))(kstrings, n_kstrings)
+    return jax.vmap(fn)(kstrings, n_kstrings, kcounts)
 
 
 def unpack_kmers_to_strings(limbs, k: int):

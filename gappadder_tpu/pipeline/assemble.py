@@ -54,7 +54,9 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         for Velvet's tour-bus.
 
     Returns:
-      kstrings: int8 [G, M, k]; n_kstrings: int32 [G].
+      kstrings: int8 [G, M, k]; n_kstrings: int32 [G];
+      kcounts: int32 [G, M] multiplicity of each k-string in the reads
+        (bubble-pop coverage for the DBG).
     """
     G, R, L = reads.shape
     if L < k:
@@ -87,17 +89,21 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         drop = (mean_inst >= 4)[:, None] & (cnt < 2)
         distinct = distinct & ~drop
         acc = jnp.where(distinct[..., None], acc, jnp.uint32(FULL))
-        acc, _ = kmers.sort_kmers(acc)
+        cnt = jnp.where(distinct, cnt, 0)
+        acc, ex = kmers.sort_kmers(acc, [cnt])
+        cnt = ex[0]
         distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
     elif min_count > 1:
         keep = distinct & (cnt >= min_count)
         acc = jnp.where(keep[..., None], acc, jnp.uint32(FULL))
-        acc, _ = kmers.sort_kmers(acc)
+        cnt = jnp.where(keep, cnt, 0)
+        acc, ex = kmers.sort_kmers(acc, [cnt])
+        cnt = ex[0]
         distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
 
     n = jnp.sum(distinct, axis=-1).astype(jnp.int32)
     kstr = dbg.unpack_kmers_to_strings(acc, k)
-    return np.asarray(kstr), np.asarray(n)
+    return np.asarray(kstr), np.asarray(n), np.asarray(cnt)
 
 
 @jax.jit
@@ -149,13 +155,15 @@ def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
     G = reads.shape[0]
     seqs, lens, counts, names = [], [], [], [[] for _ in range(G)]
     for (k, sub_k) in cfg.kmers:
-        kstr, nk = gap_distinct_kmers(reads, read_len, n_reads, k,
-                                      max_distinct,
-                                      min_count=cfg.min_kmer_count)
+        kstr, nk, kcnt = gap_distinct_kmers(reads, read_len, n_reads, k,
+                                            max_distinct,
+                                            min_count=cfg.min_kmer_count)
         useq, ulen, ucnt = dbg.assemble_unitigs(
-            jnp.asarray(kstr), jnp.asarray(nk), k=k, sub_k=sub_k,
+            jnp.asarray(kstr), jnp.asarray(nk), jnp.asarray(kcnt),
+            k=k, sub_k=sub_k,
             max_unitigs=max_unitigs_per_setting, max_len=max_contig_len,
-            min_len=cfg.min_contig_len)
+            min_len=cfg.min_contig_len,
+            pop_bubbles=cfg.bubble_pop_rounds)
         useq, ulen, ucnt = map(np.asarray, (useq, ulen, ucnt))
         seqs.append(useq)
         lens.append(ulen)
