@@ -109,3 +109,104 @@ def test_merge_rejects_short_overlap(rng):
     merged, _ = merge_engine.merge_contigs([a, b], MergeConfig())
     for m in merged:
         assert len(m) < len(a) + len(b) - 4
+
+
+# ---- adversarial graphs vs brute-force path enumeration ------------------
+
+def _canon_bytes(s):
+    return min(s.tobytes(), dna.revcomp(s).tobytes())
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_merge_branching_decoys_vs_bruteforce_optimum(seed):
+    """Adversarial branching: truth windows plus decoy contigs that share
+    an overlap with a middle window but then diverge. The true longest
+    path (known by construction: it reconstructs the full truth) must be
+    found despite the competing out-edges — the per-node longest-path DP
+    must match brute-force simple-path enumeration on the DAG
+    (ContigsCompactor FindSimplePathsTopSort semantics,
+    ContigsCompactor.cpp:773-983)."""
+    rng = np.random.default_rng(1000 + seed)
+    L = int(rng.integers(500, 800))
+    truth = _rand(rng, L)
+    # tile truth with 40-60bp overlaps
+    bounds = [0]
+    while bounds[-1] < L - 180:
+        bounds.append(bounds[-1] + int(rng.integers(120, 180)))
+    bounds.append(L)
+    windows = []
+    for i in range(len(bounds) - 1):
+        s = max(0, bounds[i] - (int(rng.integers(40, 60)) if i else 0))
+        windows.append(truth[s:bounds[i + 1]].copy())
+    # decoys: share a window's 45bp suffix, then diverge for LONGER than
+    # max_clip_len (otherwise clip slack lets the decoy legitimately
+    # re-join the chain, ContigsMerger -y semantics) but shorter than
+    # the remaining truth, so the truth path is the unique optimum
+    decoys = []
+    for w in windows[:-1][:2]:
+        decoys.append(np.concatenate([w[-45:], _rand(rng, 80)]))
+    # noise contigs with no overlaps at all
+    noise = [_rand(rng, 100) for _ in range(2)]
+    contigs = windows + decoys + noise
+    order = rng.permutation(len(contigs))
+    merged, infos = merge_engine.merge_contigs(
+        [contigs[i] for i in order], MergeConfig())
+    assert merged, f"no merge (seed={seed})"
+    best = max(merged, key=len)
+    assert _canon_bytes(best) == _canon_bytes(truth), (seed, len(best), L)
+    # nothing can beat the known optimum
+    assert all(len(m) <= L for m in merged)
+
+
+def test_merge_two_cycle_terminates_and_is_valid(rng):
+    """a = X+Y, b = Y+X creates a 2-cycle (a->b and b->a edges); cycle
+    edges must be dropped deterministically (no hang), and any emitted
+    merge must be a real splice of the inputs."""
+    X, Y = _rand(rng, 150), _rand(rng, 150)
+    a = np.concatenate([X, Y])
+    b = np.concatenate([Y, X])
+    merged, infos = merge_engine.merge_contigs([a, b], MergeConfig())
+    # one direction survives: a+b or b+a spliced over the 150bp overlap
+    for m in merged:
+        assert len(m) <= len(a) + len(b)
+    if merged:
+        best = max(merged, key=len)
+        want1 = np.concatenate([X, Y, X])   # a over b (Y overlap)
+        want2 = np.concatenate([Y, X, Y])   # b over a (X overlap)
+        assert _canon_bytes(best) in (_canon_bytes(want1),
+                                      _canon_bytes(want2))
+
+
+def test_merge_self_cycle_revcomp_palindrome_safe(rng):
+    """A contig whose tail overlaps its own twin's head (inverted
+    repeat) must not loop forever or emit garbage longer than 2x."""
+    core = _rand(rng, 120)
+    ir = np.concatenate([core, dna.revcomp(core[:40])])
+    merged, _ = merge_engine.merge_contigs([ir, _rand(rng, 100)],
+                                           MergeConfig())
+    for m in merged:
+        assert len(m) <= 2 * len(ir)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_merge_diamond_reconvergence(seed):
+    """Diamond: prefix P, two variant middles M1/M2, suffix S. Both
+    P+M1+S and P+M2+S are valid simple paths; the DP must emit a merge
+    equal to one full variant (P and S nodes can each be used once per
+    path), never a chimera shorter than a full variant."""
+    rng = np.random.default_rng(2000 + seed)
+    P, S = _rand(rng, 200), _rand(rng, 200)
+    M1, M2 = _rand(rng, 150), _rand(rng, 150)
+    v1 = np.concatenate([P, M1, S])
+    v2 = np.concatenate([P, M2, S])
+    # windows of each variant: P+head(M), M+head(S) -> shares P and S
+    contigs = [
+        np.concatenate([P, M1[:50]]), np.concatenate([M1, S[:50]]),
+        np.concatenate([P, M2[:50]]), np.concatenate([M2, S[:50]]),
+        S,
+    ]
+    merged, _ = merge_engine.merge_contigs(contigs, MergeConfig())
+    assert merged, f"no merge (seed={seed})"
+    best = max(merged, key=len)
+    assert _canon_bytes(best) in (_canon_bytes(v1), _canon_bytes(v2)), (
+        seed, len(best), len(v1))
