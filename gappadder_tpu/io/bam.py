@@ -196,3 +196,41 @@ def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
         body += [struct.pack("<i", len(rec)), rec]
     with open(path, "wb") as fh:
         fh.write(_bgzf_compress(b"".join(body)))
+
+
+def write_bam_columns(path: str, refs: list[tuple[str, int]], *, names,
+                      flag, tid, pos, mapq, mtid, mpos, tlen, lclip,
+                      rclip, seq, lens, qual=None) -> None:
+    """Columnar BAM writer (the production path): native C++ with
+    parallel BGZF deflate when available, Python fallback otherwise.
+
+    CIGAR is synthesized as [lclip S][mid M][rclip S] for mapped
+    records — the inverse of the collapsed columns `read_bam` produces.
+    seq: int8 codes [n, Lmax]; qual: phred+33 bytes or None.
+    """
+    from . import native
+    from .. import dna
+    if native.write_bam_columns_native(
+            path, refs, names=names, flag=flag, tid=tid, pos=pos,
+            mapq=mapq, mtid=mtid, mpos=mpos, tlen=tlen, lclip=lclip,
+            rclip=rclip, seq=seq, lens=lens, qual=qual):
+        return
+    recs = []
+    for i in range(len(flag)):
+        cigar = []
+        if not (int(flag[i]) & 4) and int(lens[i]) > 0:
+            if int(lclip[i]) > 0:
+                cigar.append(("S", int(lclip[i])))
+            mid = int(lens[i]) - int(lclip[i]) - int(rclip[i])
+            if mid > 0:
+                cigar.append(("M", mid))
+            if int(rclip[i]) > 0:
+                cigar.append(("S", int(rclip[i])))
+        nm = names[i]
+        recs.append(dict(
+            name=nm.decode() if isinstance(nm, bytes) else nm,
+            flag=int(flag[i]), tid=int(tid[i]), pos=int(pos[i]),
+            mapq=int(mapq[i]), cigar=cigar, mtid=int(mtid[i]),
+            mpos=int(mpos[i]), tlen=int(tlen[i]),
+            seq=dna.decode(np.asarray(seq[i][:int(lens[i])]))))
+    write_bam(path, refs, recs)

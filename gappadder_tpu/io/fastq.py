@@ -124,6 +124,10 @@ def write_fastq(path_or_fh, readset: ReadSet, rows, suffix: str = "") -> None:
     (reference renames to '<id>_1'/'<id>_2',
     run_multi_threads_discordant.py:221,296)."""
     own = isinstance(path_or_fh, (str, os.PathLike))
+    if own:
+        from . import native
+        if native.write_fastq_native(str(path_or_fh), readset, rows, suffix):
+            return
     fh = open(path_or_fh, "w") if own else path_or_fh
     try:
         for r in rows:

@@ -66,6 +66,19 @@ def _load():
     lib.bam_stream_copy.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
     lib.bam_stream_close.argtypes = [ctypes.c_void_p]
+    lib.bam_write.restype = ctypes.c_int32
+    lib.bam_write.argtypes = ([ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_void_p, ctypes.c_int32,
+                               ctypes.c_int64, ctypes.c_char_p] +
+                              [ctypes.c_void_p] * 11 +
+                              [ctypes.c_int32] + [ctypes.c_void_p] * 2)
+    lib.fastq_write.restype = ctypes.c_int32
+    lib.fastq_write.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_char_p, ctypes.c_void_p,
+                                ctypes.c_char_p, ctypes.c_void_p,
+                                ctypes.c_int32, ctypes.c_void_p,
+                                ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -171,3 +184,69 @@ def read_fastq_native(path: str):
     from .fastq import ReadSet
     return ReadSet(seq=seq, length=lens, qual=qual, name_hash=hashes,
                    names=names)
+
+
+def _names_blob(names) -> tuple[bytes, np.ndarray]:
+    off = np.zeros(len(names) + 1, np.int32)
+    for i, nm in enumerate(names):
+        off[i + 1] = off[i] + len(nm)
+    return b"".join(names), off
+
+
+def write_fastq_native(path: str, readset, rows, suffix: str = "",
+                       append: bool = False) -> bool:
+    """Buffered C++ FASTQ writer; returns False when unavailable
+    (callers fall back to the Python writer)."""
+    lib = _load()
+    if lib is None:
+        return False
+    rows = np.asarray(rows, np.int64)
+    seq = np.ascontiguousarray(readset.seq[rows], np.int8)
+    qual = np.ascontiguousarray(readset.qual[rows], np.uint8)
+    lens = np.ascontiguousarray(readset.length[rows], np.int32)
+    blob, off = _names_blob([readset.names[int(r)] for r in rows])
+    stride = seq.shape[1] if seq.ndim == 2 and seq.shape[0] else 0
+    rc = lib.fastq_write(
+        path.encode(), 1 if append else 0, len(rows), None, blob,
+        off.ctypes.data_as(ctypes.c_void_p), suffix.encode(),
+        seq.ctypes.data_as(ctypes.c_void_p), stride,
+        lens.ctypes.data_as(ctypes.c_void_p),
+        qual.ctypes.data_as(ctypes.c_void_p))
+    return bool(rc)
+
+
+def write_bam_columns_native(path: str, refs, *, names, flag, tid, pos,
+                             mapq, mtid, mpos, tlen, lclip, rclip, seq,
+                             lens, qual=None) -> bool:
+    """Columnar BAM writer with parallel BGZF deflate; returns False
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(flag)
+    refs_blob = "\n".join(name for name, _ in refs).encode()
+    ref_lens = np.asarray([ln for _, ln in refs], np.int32)
+    blob, off = _names_blob([nm.encode() if isinstance(nm, str) else nm
+                             for nm in names])
+    seq = np.ascontiguousarray(seq, np.int8)
+    stride = seq.shape[1] if seq.ndim == 2 and seq.shape[0] else 0
+
+    keep = []  # hold array refs so pointers stay valid across the call
+
+    def c(a):
+        a = np.ascontiguousarray(a, np.int32)
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    qual_ptr = None
+    if qual is not None:
+        qual = np.ascontiguousarray(qual, np.uint8)
+        qual_ptr = qual.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.bam_write(
+        path.encode(), refs_blob,
+        ref_lens.ctypes.data_as(ctypes.c_void_p), len(refs), n, blob,
+        off.ctypes.data_as(ctypes.c_void_p),
+        c(tid), c(pos), c(flag), c(mapq), c(mtid), c(mpos), c(tlen),
+        c(lclip), c(rclip), seq.ctypes.data_as(ctypes.c_void_p), stride,
+        c(lens), qual_ptr)
+    return bool(rc)

@@ -383,11 +383,31 @@ def _write_gap_fastqs(cfg, ws, gaps, rec, readsets, subdir="merged/gap_reads",
     ids = gap_ids(gaps)
     sel = rec["hq"] if hq_only else np.ones(len(rec["gap"]), bool)
     gsel = rec["gap"][sel]
+    use_native = native.available()
     for g in np.unique(gsel):
-        with open(os.path.join(folder, f"{ids[g]}.fastq"), "w") as fh:
-            m = sel & (rec["gap"] == g)
-            for li, side, row in zip(rec["lib"][m], rec["side"][m],
-                                     rec["row"][m]):
+        fpath = os.path.join(folder, f"{ids[g]}.fastq")
+        m = sel & (rec["gap"] == g)
+        libs, sides, rows = rec["lib"][m], rec["side"][m], rec["row"][m]
+        if use_native:
+            # records are lexsorted by (gap, lib, side, row): one
+            # buffered C++ append per (lib, side) run
+            open(fpath, "w").close()
+            i = 0
+            while i < len(rows):
+                j = i
+                while (j < len(rows) and libs[j] == libs[i]
+                       and sides[j] == sides[i]):
+                    j += 1
+                rs = readsets[libs[i]][sides[i]]
+                ok = native.write_fastq_native(
+                    fpath, rs, rows[i:j],
+                    suffix="_1" if sides[i] == 0 else "_2", append=True)
+                if not ok:
+                    raise IOError(f"native FASTQ write failed: {fpath}")
+                i = j
+            continue
+        with open(fpath, "w") as fh:
+            for li, side, row in zip(libs, sides, rows):
                 rs = readsets[li][side]
                 fastq.write_fastq(fh, rs, [row],
                                   suffix="_1" if side == 0 else "_2")

@@ -498,4 +498,228 @@ void fastq_copy(void* h, int8_t* seq, uint8_t* qual, int32_t* lens,
 
 void fastq_close(void* h) { delete static_cast<FastqDecoded*>(h); }
 
+// ---------------- writers ----------------
+// BAM writer with PARALLEL BGZF deflate: the uncompressed byte stream
+// is split into <=64KB segments compressed across threads, then the
+// framed blocks are written in order + the fixed EOF block. This is
+// the write-side counterpart of bgzf_inflate_all (the reference has no
+// BAM writer; samtools sort/view produce its BAMs — here emitting
+// standard BAM keeps samtools interop without shelling out).
+
+static const uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+static bool bgzf_deflate_write(const std::vector<uint8_t>& payload, FILE* f) {
+  constexpr size_t CHUNK = 0xFF00;
+  size_t nblocks = (payload.size() + CHUNK - 1) / CHUNK;
+  std::vector<std::vector<uint8_t>> blocks(nblocks);
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 2;
+  nthreads = std::min<unsigned>(nthreads, 16);
+  nthreads = std::max<unsigned>(1, std::min<size_t>(nthreads, nblocks));
+  std::vector<std::thread> threads;
+  std::vector<int> ok(nthreads, 1);
+  size_t per = nblocks ? (nblocks + nthreads - 1) / nthreads : 0;
+  for (unsigned t = 0; t < nthreads && nblocks; ++t) {
+    threads.emplace_back([&, t]() {
+      for (size_t i = t * per; i < std::min(nblocks, (t + 1) * per); ++i) {
+        size_t lo = i * CHUNK;
+        size_t len = std::min(CHUNK, payload.size() - lo);
+        z_stream zs{};
+        if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) { ok[t] = 0; return; }
+        std::vector<uint8_t> cdata(deflateBound(&zs, len) + 1);
+        zs.next_in = const_cast<Bytef*>(&payload[lo]);
+        zs.avail_in = static_cast<uInt>(len);
+        zs.next_out = cdata.data();
+        zs.avail_out = static_cast<uInt>(cdata.size());
+        int rc = deflate(&zs, Z_FINISH);
+        size_t clen = zs.total_out;
+        deflateEnd(&zs);
+        if (rc != Z_STREAM_END || clen + 26 > 0xFFFF) { ok[t] = 0; return; }
+        std::vector<uint8_t>& b = blocks[i];
+        uint16_t bsize = static_cast<uint16_t>(clen + 12 + 6 + 8);
+        b.resize(18 + clen + 8);
+        const uint8_t head[12] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                                  0, 0xff, 6, 0};
+        memcpy(b.data(), head, 12);
+        b[12] = 'B'; b[13] = 'C'; b[14] = 2; b[15] = 0;
+        uint16_t bs1 = bsize - 1;
+        memcpy(&b[16], &bs1, 2);
+        memcpy(&b[18], cdata.data(), clen);
+        uint32_t crc = crc32(0, &payload[lo], static_cast<uInt>(len));
+        uint32_t isz = static_cast<uint32_t>(len);
+        memcpy(&b[18 + clen], &crc, 4);
+        memcpy(&b[18 + clen + 4], &isz, 4);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int o : ok) if (!o) return false;
+  for (auto& b : blocks)
+    if (fwrite(b.data(), 1, b.size(), f) != b.size()) return false;
+  return fwrite(kBgzfEof, 1, 28, f) == 28;
+}
+
+static void put_i32(std::vector<uint8_t>* v, int32_t x) {
+  size_t o = v->size();
+  v->resize(o + 4);
+  memcpy(&(*v)[o], &x, 4);
+}
+
+// Columnar BAM writer. names = concatenated name bytes with name_off
+// [n+1] offsets; refs = '\n'-joined reference names with ref_lens.
+// CIGAR is synthesized from (lclip, rclip, read_len) as
+// [lclip S][mid M][rclip S] for mapped records — the inverse of the
+// collapsed columns the readers produce. seq: int8 codes [n, stride]
+// (0..3 ACGT, else N); qual: phred+33 bytes or null (-> 0xFF missing).
+// Returns 1 on success.
+int32_t bam_write(const char* path, const char* refs,
+                  const int32_t* ref_lens, int32_t n_refs, int64_t n,
+                  const char* names, const int32_t* name_off,
+                  const int32_t* tid, const int32_t* pos,
+                  const int32_t* flag, const int32_t* mapq,
+                  const int32_t* mtid, const int32_t* mpos,
+                  const int32_t* tlen, const int32_t* lclip,
+                  const int32_t* rclip, const int8_t* seq,
+                  int32_t seq_stride, const int32_t* lens,
+                  const uint8_t* qual) {
+  std::vector<uint8_t> out;
+  out.reserve(1 << 20);
+  // header: magic, SAM text (@SQ lines), reference dictionary
+  std::string text;
+  {
+    const char* p = refs;
+    for (int r = 0; r < n_refs; ++r) {
+      const char* e = strchr(p, '\n');
+      size_t nl = e ? static_cast<size_t>(e - p) : strlen(p);
+      text += "@SQ\tSN:" + std::string(p, nl) + "\tLN:" +
+              std::to_string(ref_lens[r]) + "\n";
+      p += nl + (e ? 1 : 0);
+    }
+  }
+  out.insert(out.end(), {'B', 'A', 'M', 1});
+  put_i32(&out, static_cast<int32_t>(text.size()));
+  out.insert(out.end(), text.begin(), text.end());
+  put_i32(&out, n_refs);
+  {
+    const char* p = refs;
+    for (int r = 0; r < n_refs; ++r) {
+      const char* e = strchr(p, '\n');
+      size_t nl = e ? static_cast<size_t>(e - p) : strlen(p);
+      put_i32(&out, static_cast<int32_t>(nl + 1));
+      out.insert(out.end(), p, p + nl);
+      out.push_back(0);
+      put_i32(&out, ref_lens[r]);
+      p += nl + (e ? 1 : 0);
+    }
+  }
+  static const uint8_t nib[5] = {1, 2, 4, 8, 15};  // A C G T N
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t nm_len = name_off[i + 1] - name_off[i];
+    int32_t l_seq = lens[i];
+    uint32_t cig[3];
+    int n_cig = 0;
+    if (!(flag[i] & 4) && l_seq > 0) {
+      int32_t mid = l_seq - lclip[i] - rclip[i];
+      if (lclip[i] > 0) cig[n_cig++] = (static_cast<uint32_t>(lclip[i]) << 4) | 4;
+      if (mid > 0) cig[n_cig++] = (static_cast<uint32_t>(mid) << 4) | 0;
+      if (rclip[i] > 0) cig[n_cig++] = (static_cast<uint32_t>(rclip[i]) << 4) | 4;
+    }
+    int32_t bsz = 32 + (nm_len + 1) + 4 * n_cig + (l_seq + 1) / 2 + l_seq;
+    put_i32(&out, bsz);
+    put_i32(&out, tid[i]);
+    put_i32(&out, pos[i]);
+    out.push_back(static_cast<uint8_t>(nm_len + 1));
+    out.push_back(static_cast<uint8_t>(mapq[i]));
+    out.push_back(0); out.push_back(0);            // bin (unused)
+    out.push_back(static_cast<uint8_t>(n_cig)); out.push_back(0);
+    uint16_t fl = static_cast<uint16_t>(flag[i]);
+    out.push_back(fl & 0xFF); out.push_back(fl >> 8);
+    put_i32(&out, l_seq);
+    put_i32(&out, mtid[i]);
+    put_i32(&out, mpos[i]);
+    put_i32(&out, tlen[i]);
+    out.insert(out.end(), names + name_off[i], names + name_off[i + 1]);
+    out.push_back(0);
+    for (int c = 0; c < n_cig; ++c) {
+      size_t o = out.size();
+      out.resize(o + 4);
+      memcpy(&out[o], &cig[c], 4);
+    }
+    const int8_t* s = seq + i * static_cast<int64_t>(seq_stride);
+    for (int32_t b = 0; b < l_seq; b += 2) {
+      uint8_t hi = nib[(s[b] >= 0 && s[b] < 4) ? s[b] : 4];
+      uint8_t lo = 0;
+      if (b + 1 < l_seq)
+        lo = nib[(s[b + 1] >= 0 && s[b + 1] < 4) ? s[b + 1] : 4];
+      out.push_back(static_cast<uint8_t>((hi << 4) | lo));
+    }
+    if (qual) {
+      const uint8_t* q = qual + i * static_cast<int64_t>(seq_stride);
+      for (int32_t b = 0; b < l_seq; ++b)
+        out.push_back(q[b] >= 33 ? q[b] - 33 : 0xFF);
+    } else {
+      out.insert(out.end(), l_seq, 0xFF);
+    }
+  }
+  FILE* f = fopen(path, "wb");
+  if (!f) return 0;
+  bool ok = bgzf_deflate_write(out, f);
+  fclose(f);
+  return ok ? 1 : 0;
+}
+
+// Buffered FASTQ writer: rows selects + orders records; suffix is
+// appended to each name (the reference's '<id>_1'/'<id>_2' renaming,
+// run_multi_threads_discordant.py:221,296). append != 0 opens in
+// append mode (per-gap fastq accumulation). Returns 1 on success.
+int32_t fastq_write(const char* path, int32_t append, int64_t n_rows,
+                    const int64_t* rows, const char* names,
+                    const int32_t* name_off, const char* suffix,
+                    const int8_t* seq, int32_t stride,
+                    const int32_t* lens, const uint8_t* qual) {
+  FILE* f = fopen(path, append ? "ab" : "wb");
+  if (!f) return 0;
+  static const char dec[5] = {'A', 'C', 'G', 'T', 'N'};
+  size_t suf_len = strlen(suffix);
+  std::string buf;
+  buf.reserve(1 << 22);
+  std::string sline;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t i = rows ? rows[r] : r;
+    int32_t ln = lens[i];
+    buf.push_back('@');
+    buf.append(names + name_off[i], names + name_off[i + 1]);
+    buf.append(suffix, suf_len);
+    buf.push_back('\n');
+    const int8_t* s = seq + i * static_cast<int64_t>(stride);
+    sline.resize(ln);
+    for (int32_t b = 0; b < ln; ++b)
+      sline[b] = dec[(s[b] >= 0 && s[b] < 4) ? s[b] : 4];
+    buf += sline;
+    buf.append("\n+\n", 3);
+    if (qual) {
+      buf.append(reinterpret_cast<const char*>(
+                     qual + i * static_cast<int64_t>(stride)),
+                 ln);
+    } else {
+      buf.append(ln, '5');
+    }
+    buf.push_back('\n');
+    if (buf.size() >= (1 << 22)) {
+      if (fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+        fclose(f);
+        return 0;
+      }
+      buf.clear();
+    }
+  }
+  bool ok = fwrite(buf.data(), 1, buf.size(), f) == buf.size();
+  fclose(f);
+  return ok ? 1 : 0;
+}
+
 }  // extern "C"

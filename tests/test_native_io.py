@@ -118,3 +118,115 @@ def test_read_bam_any_stream_path(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(getattr(direct, k),
                                       getattr(streamed, k), k)
     assert streamed.refs == direct.refs
+
+
+# ---- native writers (parallel BGZF BAM writer, buffered FASTQ writer) ----
+
+def test_bam_write_native_roundtrip(tmp_path, rng):
+    """Columnar native writer -> both readers decode identical columns."""
+    from gappadder_tpu import dna
+    n, L = 2000, 100
+    refs = [("scaf_a", 5000), ("scaf_b", 700)]
+    names = [f"w{i}/1".encode() for i in range(n)]
+    flag = rng.choice([0x41, 0x85, 0x4D, 0x45], n).astype(np.int32)
+    tid = rng.integers(0, 2, n).astype(np.int32)
+    pos = rng.integers(0, 4000, n).astype(np.int32)
+    mapq = rng.choice([0, 30, 60], n).astype(np.int32)
+    mtid = rng.integers(-1, 2, n).astype(np.int32)
+    mpos = rng.integers(0, 4000, n).astype(np.int32)
+    tlen = rng.integers(-800, 800, n).astype(np.int32)
+    lens = rng.integers(20, L + 1, n).astype(np.int32)
+    lclip = np.minimum(rng.integers(0, 20, n), lens // 3).astype(np.int32)
+    rclip = np.minimum(rng.integers(0, 20, n), lens // 3).astype(np.int32)
+    unmapped = (flag & 4) != 0
+    lclip[unmapped] = 0
+    rclip[unmapped] = 0
+    seq = rng.integers(0, 4, (n, L)).astype(np.int8)
+    qual = np.full((n, L), ord("I"), np.uint8)
+
+    path = str(tmp_path / "w.bam")
+    ok = native.write_bam_columns_native(
+        path, refs, names=names, flag=flag, tid=tid, pos=pos, mapq=mapq,
+        mtid=mtid, mpos=mpos, tlen=tlen, lclip=lclip, rclip=rclip,
+        seq=seq, lens=lens, qual=qual)
+    assert ok
+
+    for rd in (bam_io.read_bam, native.read_bam_native):
+        a = rd(path)
+        assert a.refs == ["scaf_a", "scaf_b"]
+        np.testing.assert_array_equal(a.flag, flag)
+        np.testing.assert_array_equal(a.tid, tid)
+        np.testing.assert_array_equal(a.pos, pos)
+        np.testing.assert_array_equal(a.mapq, mapq)
+        np.testing.assert_array_equal(a.mtid, mtid)
+        np.testing.assert_array_equal(a.mpos, mpos)
+        np.testing.assert_array_equal(a.tlen, tlen)
+        np.testing.assert_array_equal(a.lclip, lclip)
+        np.testing.assert_array_equal(a.rclip, rclip)
+        np.testing.assert_array_equal(a.read_len, lens)
+        want_match = np.where(unmapped, 0, lens - lclip - rclip)
+        np.testing.assert_array_equal(a.nmatch, want_match)
+    # names survive via hash join
+    a = bam_io.read_bam(path, keep_names=True)
+    assert a.names[:3] == [b"w0", b"w1", b"w2"]
+
+
+def test_bam_write_columns_fallback_matches_native(tmp_path, rng):
+    """The Python fallback path of write_bam_columns produces the same
+    decoded columns as the native writer."""
+    from gappadder_tpu.io import native as native_mod
+    n, L = 40, 60
+    refs = [("s", 900)]
+    kw = dict(
+        names=[f"q{i}".encode() for i in range(n)],
+        flag=np.zeros(n, np.int32), tid=np.zeros(n, np.int32),
+        pos=np.arange(n, dtype=np.int32) * 10,
+        mapq=np.full(n, 60, np.int32),
+        mtid=np.full(n, -1, np.int32), mpos=np.zeros(n, np.int32),
+        tlen=np.zeros(n, np.int32),
+        lclip=np.full(n, 5, np.int32), rclip=np.zeros(n, np.int32),
+        seq=rng.integers(0, 4, (n, L)).astype(np.int8),
+        lens=np.full(n, L, np.int32))
+    p1 = str(tmp_path / "nat.bam")
+    p2 = str(tmp_path / "py.bam")
+    bam_io.write_bam_columns(p1, refs, **kw)
+    import unittest.mock as mock
+    with mock.patch.object(native_mod, "write_bam_columns_native",
+                           return_value=False):
+        bam_io.write_bam_columns(p2, refs, **kw)
+    a, b = bam_io.read_bam(p1), bam_io.read_bam(p2)
+    for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos", "tlen",
+              "lclip", "rclip", "nmatch", "read_len"):
+        np.testing.assert_array_equal(getattr(a, k), getattr(b, k), k)
+    np.testing.assert_array_equal(a.name_hash, b.name_hash)
+
+
+def test_fastq_write_native_matches_python(tmp_path, rng):
+    """Native buffered writer emits byte-identical FASTQ to the Python
+    writer (incl. suffix renaming and row selection/order)."""
+    from gappadder_tpu.io import native as native_mod
+    n, L = 200, 80
+    lens = rng.integers(10, L + 1, n).astype(np.int32)
+    seq = np.full((n, L), 4, np.int8)
+    qual = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        seq[i, :lens[i]] = rng.integers(0, 4, lens[i])
+        qual[i, :lens[i]] = rng.integers(33, 74, lens[i])
+    rs = fastq.ReadSet(seq=seq, length=lens, qual=qual,
+                       name_hash=np.zeros(n, np.uint64),
+                       names=[f"r{i}".encode() for i in range(n)])
+    rows = rng.permutation(n)[:77]
+    p1 = str(tmp_path / "nat.fastq")
+    p2 = str(tmp_path / "py.fastq")
+    fastq.write_fastq(p1, rs, rows, suffix="_1")
+    import unittest.mock as mock
+    with mock.patch.object(native_mod, "write_fastq_native",
+                           return_value=False):
+        fastq.write_fastq(p2, rs, rows, suffix="_1")
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    # append mode stacks records
+    ok = native.write_fastq_native(p1, rs, rows[:5], suffix="_2",
+                                   append=True)
+    assert ok
+    got = fastq.read_fastq(p1)
+    assert got.n == 82
