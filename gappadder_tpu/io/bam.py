@@ -162,7 +162,8 @@ def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
     """Minimal BAM writer (tests / interchange).
 
     records: iterable of dicts with keys name, flag, tid, pos, mapq,
-    cigar (list[(op_char, len)]), mtid, mpos, tlen, seq(optional str).
+    cigar (list[(op_char, len)]), mtid, mpos, tlen, seq(optional str),
+    qual(optional phred+33 bytes, 0xFF-filled when absent).
     """
     header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
     body = [b"BAM\x01", struct.pack("<i", len(header_text)),
@@ -183,7 +184,12 @@ def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
                 vals.append(0)
             enc_seq = bytes((vals[i] << 4) | vals[i + 1]
                             for i in range(0, len(vals), 2))
-        qual = b"\xff" * l_seq
+        q = r.get("qual")
+        if q is not None and len(q) >= l_seq:
+            # BAM stores raw phred (no +33 offset)
+            qual = bytes((b - 33) & 0xFF for b in q[:l_seq])
+        else:
+            qual = b"\xff" * l_seq
         rec = struct.pack(
             "<iiBBHHHiiii", r["tid"], r["pos"], len(name), r.get("mapq", 60),
             0, len(cigar), r["flag"], l_seq, r.get("mtid", -1),
@@ -232,5 +238,7 @@ def write_bam_columns(path: str, refs: list[tuple[str, int]], *, names,
             flag=int(flag[i]), tid=int(tid[i]), pos=int(pos[i]),
             mapq=int(mapq[i]), cigar=cigar, mtid=int(mtid[i]),
             mpos=int(mpos[i]), tlen=int(tlen[i]),
-            seq=dna.decode(np.asarray(seq[i][:int(lens[i])]))))
+            seq=dna.decode(np.asarray(seq[i][:int(lens[i])])),
+            qual=bytes(qual[i][:int(lens[i])]) if qual is not None
+            else None))
     write_bam(path, refs, recs)

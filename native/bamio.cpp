@@ -619,6 +619,9 @@ int32_t bam_write(const char* path, const char* refs,
   static const uint8_t nib[5] = {1, 2, 4, 8, 15};  // A C G T N
   for (int64_t i = 0; i < n; ++i) {
     int32_t nm_len = name_off[i + 1] - name_off[i];
+    // l_read_name is a uint8 incl. NUL: clamp QNAME to 254 bytes
+    // (samtools' limit) instead of silently wrapping the field.
+    if (nm_len > 254) nm_len = 254;
     int32_t l_seq = lens[i];
     uint32_t cig[3];
     int n_cig = 0;
@@ -642,7 +645,7 @@ int32_t bam_write(const char* path, const char* refs,
     put_i32(&out, mtid[i]);
     put_i32(&out, mpos[i]);
     put_i32(&out, tlen[i]);
-    out.insert(out.end(), names + name_off[i], names + name_off[i + 1]);
+    out.insert(out.end(), names + name_off[i], names + name_off[i] + nm_len);
     out.push_back(0);
     for (int c = 0; c < n_cig; ++c) {
       size_t o = out.size();

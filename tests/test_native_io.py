@@ -230,3 +230,83 @@ def test_fastq_write_native_matches_python(tmp_path, rng):
     assert ok
     got = fastq.read_fastq(p1)
     assert got.n == 82
+
+
+def _raw_bam_records(path):
+    """Decode BAM payload into (name, qual_bytes) pairs for testing."""
+    import struct
+    raw = bam_io._bgzf_decompress(open(path, "rb").read())
+    l_text = struct.unpack_from("<i", raw, 4)[0]
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", raw, off)[0]
+        off += 4 + l_name + 4
+    out = []
+    while off < len(raw):
+        bsz = struct.unpack_from("<i", raw, off)[0]
+        rec = raw[off + 4: off + 4 + bsz]
+        off += 4 + bsz
+        (_tid, _pos, l_rn, _mapq, _bin, n_cig, _flag, l_seq, _mtid,
+         _mpos, _tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+        name = rec[32: 32 + l_rn - 1]
+        qoff = 32 + l_rn + 4 * n_cig + (l_seq + 1) // 2
+        out.append((name, rec[qoff: qoff + l_seq]))
+    return out
+
+
+def test_bam_write_fallback_preserves_qual(tmp_path, rng):
+    """ADVICE r1: the Python fallback must carry phred scores like the
+    native path instead of emitting 0xFF."""
+    from gappadder_tpu.io import native as native_mod
+    n, L = 8, 30
+    refs = [("s", 500)]
+    qual = rng.integers(35, 70, (n, L)).astype(np.uint8)
+    kw = dict(
+        names=[f"q{i}".encode() for i in range(n)],
+        flag=np.zeros(n, np.int32), tid=np.zeros(n, np.int32),
+        pos=np.arange(n, dtype=np.int32), mapq=np.full(n, 60, np.int32),
+        mtid=np.full(n, -1, np.int32), mpos=np.zeros(n, np.int32),
+        tlen=np.zeros(n, np.int32), lclip=np.zeros(n, np.int32),
+        rclip=np.zeros(n, np.int32),
+        seq=rng.integers(0, 4, (n, L)).astype(np.int8),
+        lens=np.full(n, L, np.int32), qual=qual)
+    p1 = str(tmp_path / "nat.bam")
+    p2 = str(tmp_path / "py.bam")
+    bam_io.write_bam_columns(p1, refs, **kw)
+    import unittest.mock as mock
+    with mock.patch.object(native_mod, "write_bam_columns_native",
+                           return_value=False):
+        bam_io.write_bam_columns(p2, refs, **kw)
+    r1, r2 = _raw_bam_records(p1), _raw_bam_records(p2)
+    for (n1, q1), (n2, q2) in zip(r1, r2):
+        assert n1 == n2
+        assert q1 == q2
+        assert q1 != b"\xff" * len(q1)
+    # stored phred = input - 33
+    np.testing.assert_array_equal(
+        np.frombuffer(r1[0][1], np.uint8), qual[0] - 33)
+
+
+def test_bam_write_native_clamps_long_names(tmp_path):
+    """ADVICE r1: QNAME > 254 bytes must clamp (samtools limit), not
+    wrap l_read_name and corrupt the record."""
+    n, L = 3, 20
+    refs = [("s", 500)]
+    names = [b"x" * 300, b"ok_name", b"y" * 254]
+    kw = dict(
+        names=names,
+        flag=np.zeros(n, np.int32), tid=np.zeros(n, np.int32),
+        pos=np.arange(n, dtype=np.int32), mapq=np.full(n, 60, np.int32),
+        mtid=np.full(n, -1, np.int32), mpos=np.zeros(n, np.int32),
+        tlen=np.zeros(n, np.int32), lclip=np.zeros(n, np.int32),
+        rclip=np.zeros(n, np.int32),
+        seq=np.zeros((n, L), np.int8), lens=np.full(n, L, np.int32))
+    path = str(tmp_path / "long.bam")
+    ok = native.write_bam_columns_native(path, refs, **kw)
+    assert ok
+    recs = _raw_bam_records(path)
+    assert [r[0] for r in recs] == [b"x" * 254, b"ok_name", b"y" * 254]
+    a = bam_io.read_bam(path)   # parses cleanly end to end
+    assert a.n == n
