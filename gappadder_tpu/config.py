@@ -65,12 +65,23 @@ class Config:
                                      # (tour-bus equivalent, ops/dbg.py)
     pick_min_score_round1: int = 30  # assemble_gaps.py:336
     pick_min_score_final: int = 15   # assemble_gaps.py:365
+    pick_max_hits: int = 3           # bwa mem -a multi-hit parity
+                                     # (pick_contigs.py:80-86): non-
+                                     # overlapping local hits per
+                                     # (flank, contig, strand)
     dedup_cutoff: float = 0.99       # MergeContigs.py:73-99
     merge_max_frac_score_loss: float = 0.4   # ContigsMerger -s
     merge_min_overlap_len: int = 12          # ContigsMerger -x
     merge_max_clip_len: int = 50             # ContigsMerger -y
     merge_kmer_len: int = 10                 # ContigsMerger -k
     merge_min_support_kmer: int = 1          # ContigsMerger -m
+    # scale bounds (VERDICT r1 #5): 0 = unbounded/auto — shapes grow
+    # with the data (with loud warnings), matching Velvet/KMC's
+    # unbounded inputs (/root/reference/assemble_gaps.py:96-118).
+    max_reads_per_gap: int = 0        # >0 caps a gap's read set (warns)
+    max_distinct_kmers: int = 0       # >0 fixes the k-mer table; 0 = auto-grow
+    max_contig_len: int = 0           # >0 fixes unitig length; 0 = provably-sufficient auto
+    max_unitigs: int = 64             # per (k,sub_k) setting; auto-doubles on saturation
     tpu: TpuParams = dataclasses.field(default_factory=TpuParams)
 
     @property
@@ -128,7 +139,9 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
     for field in ("min_gap_size", "flank_length", "nthreads", "anchor_mapq",
                   "clip_dist", "flank_margin", "long_insert_threshold",
                   "high_quality_mapq", "min_contig_len", "min_kmer_count",
-                  "bubble_pop_rounds"):
+                  "bubble_pop_rounds", "max_reads_per_gap",
+                  "max_distinct_kmers", "max_contig_len", "max_unitigs",
+                  "pick_max_hits"):
         if field in params:
             kwargs[field] = int(params[field])
     if "verbose" in params:

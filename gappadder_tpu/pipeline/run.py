@@ -23,6 +23,7 @@ from .. import dna
 from ..config import Config
 from ..io import fasta, fastq
 from ..ops import merge_engine
+from ..utils import log
 from . import assemble, pick, rescue
 from .preprocess import gap_ids
 from .workspace import Workspace, config_hash
@@ -103,9 +104,24 @@ def _restack(contig_store, batch):
 
 
 # coarse read-count buckets -> (reads bucket, max-distinct-kmer bound);
-# few distinct shapes keep the jit cache warm across batches
+# few distinct shapes keep the jit cache warm across batches. Gaps
+# beyond the last bucket get dynamic power-of-two buckets (no cap):
+# the reference's Velvet input is unbounded (assemble_gaps.py:96-118).
 _BUCKETS = ((1 << 6, 1 << 12), (1 << 9, 1 << 13), (1 << 12, 1 << 14),
             (1 << 15, 1 << 16))
+
+# keep G*R (padded read rows resident per assembly batch) bounded so
+# huge gaps shrink the gap batch instead of blowing device memory
+_MAX_BATCH_ROWS = 1 << 21
+
+
+def _bucket_of(n: int):
+    """(reads bucket R, distinct-kmer start bound) for an n-read gap."""
+    for r, md in _BUCKETS:
+        if n <= r:
+            return r, md
+    R = 1 << max(n - 1, 1).bit_length()
+    return R, 2 * R
 
 
 def _make_mesh_if_configured(cfg):
@@ -130,11 +146,20 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
     sorts/scatters run within each gap's lane, so no cross-shard
     collectives are needed — computation follows the data sharding)."""
     buckets: dict[int, list[int]] = {}
+    md_of = dict(_BUCKETS)
+    cap = cfg.max_reads_per_gap
     for g in gap_list:
         n = max(len(per_gap[g]), 1)
-        R = next((r for r, _ in _BUCKETS if n <= r), _BUCKETS[-1][0])
+        if cap and n > cap:
+            log.warn_cap(
+                "reads_per_gap_truncated",
+                "max_reads_per_gap=%d truncating a %d-read gap; set "
+                "max_reads_per_gap=0 (default) for unbounded recruit "
+                "sets", cap, n)
+            n = cap
+        R, md = _bucket_of(n)
+        md_of[R] = md
         buckets.setdefault(R, []).append(g)
-    md_of = dict(_BUCKETS)
     GB = max(int(getattr(cfg.tpu, "gap_batch", 16)), 1)
     if mesh is not None:
         m = 1
@@ -142,10 +167,20 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
             m *= mesh.shape[a]
         GB = -(-GB // m) * m
     for R, gl in sorted(buckets.items()):
-        for lo in range(0, len(gl), GB):
-            batch = gl[lo:lo + GB]
-            padded = batch + [-1] * (GB - len(batch))  # fixed G shape
-            seq, rlen, nreads = _pad_batch(padded, per_gap, readsets, R, L)
+        gb = GB
+        if R * GB > _MAX_BATCH_ROWS:
+            gb = max(_MAX_BATCH_ROWS // R, 1)
+            if mesh is not None:
+                m = 1
+                for a in mesh.axis_names:
+                    m *= mesh.shape[a]
+                gb = max(-(-gb // m) * m, m)
+        for lo in range(0, len(gl), gb):
+            batch = gl[lo:lo + gb]
+            padded = batch + [-1] * (gb - len(batch))  # fixed G shape
+            Rcap = min(R, cap) if cap else R
+            seq, rlen, nreads = _pad_batch(padded, per_gap, readsets,
+                                           Rcap, L)
             if mesh is not None:
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -175,7 +210,8 @@ def _pick_gaps(cfg, gaps, gap_list, contig_store, fills, exts, min_score,
         fr = gaps["flank_right"][batch]
         hits = pick.align_flanks_to_contigs(
             fl, fr, gc.seq, gc.length, gc.count,
-            min_score=min_score, use_pallas=cfg.tpu.use_pallas)
+            min_score=min_score, use_pallas=cfg.tpu.use_pallas,
+            max_hits=cfg.pick_max_hits)
         for i, g in enumerate(batch):
             res = pick.pick_full(hits[i], gc.seq[i], gc.length[i])
             if res is not None:

@@ -84,7 +84,14 @@ def simulate(truth: str, gap_spans, n_pairs: int, rng,
         pos1 = m1[0] if m1 else (m2[0] if m2 else None)
         pos2 = m2[0] if m2 else (m1[0] if m1 else None)
         if pos1 is None:
-            continue  # both unmapped: not in a region view
+            # both ends unmapped: real mappers keep the pair in the BAM
+            # as unplaced flag-12 records (the reference extracts them
+            # with `samtools view -f 12`, collect_both_unmapped_reads.py:14-34)
+            for nm, fl, sq in ((name, flag1, seq1), (name, flag2, seq2)):
+                bam_records.append(dict(
+                    name=nm, flag=fl, tid=-1, pos=-1, mapq=0, cigar=[],
+                    mtid=-1, mpos=-1, tlen=0, seq=sq))
+            continue
         tlen = ins
         rec1 = dict(name=name, flag=flag1, tid=0, pos=pos1, mapq=60 if m1 else 0,
                     cigar=m1[1] if m1 else [], mtid=0, mpos=pos2,

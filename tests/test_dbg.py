@@ -225,11 +225,10 @@ def test_bubble_pop_batch_wiring(rng):
     nr = np.array([R], np.int32)
 
     cfg = Config(draft_genome="x", kmers=((k, sub_k),), min_kmer_count=0,
-                 min_contig_len=40, bubble_pop_rounds=2)
+                 min_contig_len=40, bubble_pop_rounds=2,
+                 max_unitigs=16, max_contig_len=512)
     gc = assemble.assemble_gap_batch(cfg, arr, rlen, nr,
-                                     max_distinct=1 << 11,
-                                     max_unitigs_per_setting=16,
-                                     max_contig_len=512)
+                                     max_distinct=1 << 11)
     got = [dna.decode(gc.seq[0, i, :gc.length[0, i]])
            for i in range(int(gc.count[0]))]
     assert any(_canon(u) == _canon(truth) for u in got), got

@@ -116,3 +116,57 @@ def test_close_large_gap_needs_rescue(tmp_path, rng):
     fill_seq = dna.decode(fills[0][0])
     want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
     assert fill_seq == want
+
+
+def test_close_gap_over_2kb(tmp_path, rng):
+    """VERDICT r1 #5: a >2 kb gap fill was structurally impossible under
+    the old max_contig_len=2048 cap. With auto bounds it must close
+    bit-exact."""
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, gap_len=2600, L=8000,
+                                  n_pairs=4000, insert=700, std=60)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    preprocess.run_preprocess(cfg, ws, genome=genome)
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
+                                               readsets=readsets,
+                                               genome=genome)
+    assert 0 in fills, f"2.6kb gap not closed (exts={list(exts)})"
+    fill_seq = dna.decode(fills[0][0])
+    want = truth[gs - cfg.flank_margin: ge + cfg.flank_margin]
+    assert fill_seq == want
+    assert len(fill_seq) > 2048  # genuinely past the old cap
+
+
+def test_reads_per_gap_cap_warns(tmp_path, rng):
+    """A positive max_reads_per_gap must truncate LOUDLY, never
+    silently."""
+    from gappadder_tpu.utils import log as gtlog
+    import dataclasses
+    gtlog.reset_cap_events()
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, n_pairs=600)
+    cfg = dataclasses.replace(cfg, max_reads_per_gap=64)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    preprocess.run_preprocess(cfg, ws, genome=genome)
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    run.run_assembly_and_pick(cfg, ws, rec=rec, readsets=readsets,
+                              genome=genome)
+    assert gtlog.cap_events("reads_per_gap_truncated") > 0
+
+
+def test_fixed_kmer_cap_warns(tmp_path, rng):
+    """A positive max_distinct_kmers that saturates must warn (the old
+    behavior dropped lexicographically-largest k-mers silently)."""
+    from gappadder_tpu.utils import log as gtlog
+    import dataclasses
+    gtlog.reset_cap_events()
+    cfg, truth, (gs, ge) = _setup(tmp_path, rng, n_pairs=600)
+    cfg = dataclasses.replace(cfg, max_distinct_kmers=128)
+    ws = Workspace(cfg.workdir)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    preprocess.run_preprocess(cfg, ws, genome=genome)
+    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+    run.run_assembly_and_pick(cfg, ws, rec=rec, readsets=readsets,
+                              genome=genome)
+    assert gtlog.cap_events("kmer_table_truncated") > 0
