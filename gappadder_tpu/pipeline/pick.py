@@ -18,9 +18,16 @@ logic runs:
     flank hits clipped toward the gap produce "left + NN + right"
     partial fills named "<gap_id>_<l>_<r>_extended".
 
+Multi-hit enumeration (bwa `-a` parity, pick_contigs.py:80-86): up to
+``max_hits`` NON-OVERLAPPING local alignments are enumerated per
+(flank, contig, strand) by mask-and-rerun — after each SW pass, the
+aligned target span of every reported hit is masked to N and the batch
+realigned, so secondary repeat hits reach the combo scoring exactly as
+bwa -a's hit list does. (Hits overlapping a better hit's target span
+are not re-reported — bwa's own secondary-suppression behaves the
+same way for contained repeats.)
+
 Deviations from the reference (documented deliberately):
-  * one best local alignment per (flank, contig, strand) instead of
-    bwa's -a multi-hit list (secondary repeat hits are not enumerated);
   * strand comes from which query orientation scored best — the
     reference's `flag*16 != 0` bug (pick_contigs.py:386, a typo for
     `flag & 16` that misclassifies secondary hits) is fixed;
@@ -61,13 +68,16 @@ from ..ops.swutil import sw_pairs
 
 def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
                             n_contigs, min_score: int,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False, max_hits: int = 3):
     """Align both flanks (fwd+rc) of each gap to each of its contigs.
 
     Args:
       flank_left/right: int8 [G, FL] padded codes (+ trailing N).
       contigs: int8 [G, C, Lmax]; contig_lens [G, C]; n_contigs [G].
       min_score: bwa -T equivalent on the SW score.
+      max_hits: non-overlapping local hits enumerated per
+        (flank, contig, strand) — the bwa `-a` multi-hit list
+        (pick_contigs.py:80-86); 1 restores round-1 single-hit behavior.
 
     Returns: per gap, list[FlankHit] with score >= min_score.
     """
@@ -107,26 +117,28 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
     t_batch = np.asarray(contigs)[pg, pc]
     tl_batch = np.asarray(contig_lens)[pg, pc]
 
-    score, qend, tend = sw_pairs(
-        q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "local",
-        use_pallas=use_pallas)
-    # second pass: query-global ("fit") alignments supply the UNCLIP
-    # candidates bwa -a reports even when the best LOCAL hit trims a
-    # flank end (reference combos need UNCLIP entries,
-    # pick_contigs.py:171-282)
-    fscore, fqend, ftend = sw_pairs(
-        q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "fit",
-        use_pallas=use_pallas)
-
     hits: list[list[FlankHit]] = [[] for _ in range(G)]
-    for i in range(len(pg)):
-        g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
-        qlen = int(ql_batch[i])
-        side = "left" if qi < 2 else "right"
-        rc = bool(qi % 2)
-        if score[i] >= min_score:
+
+    # multi-hit local passes: mask each reported hit's target span to N
+    # and realign, so secondary (repeat) placements surface like bwa -a
+    t_work = np.array(t_batch, copy=True)
+    first_score = None
+    for _pass in range(max(max_hits, 1)):
+        score, qend, tend = sw_pairs(
+            q_batch, ql_batch, t_work, tl_batch, BWA_PARAMS, "local",
+            use_pallas=use_pallas)
+        if first_score is None:
+            first_score = score
+        any_hit = False
+        for i in range(len(pg)):
+            if score[i] < min_score:
+                continue
+            g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
+            qlen = int(ql_batch[i])
+            side = "left" if qi < 2 else "right"
+            rc = bool(qi % 2)
             qstart, tstart, m_sum = sw_host.alignment_stats(
-                q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
+                q_batch[i][:qlen], t_work[i][:int(tl_batch[i])],
                 BWA_PARAMS, "local", int(qend[i]), int(tend[i]))
             lcl = qstart > 0
             rcl = int(qend[i]) < qlen
@@ -142,7 +154,30 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
                 contig=c, side=side, rc=rc, score=int(score[i]),
                 map_pos=tstart + 1, match_len=m_sum, clip_type=ct,
                 qstart=qstart, qend=int(qend[i]), tend=int(tend[i])))
-        if fscore[i] >= min_score and fscore[i] != score[i]:
+            t_work[i, tstart:int(tend[i])] = dna.N
+            any_hit = True
+        if not any_hit:
+            break
+
+    # query-global ("fit") pass: supplies the UNCLIP candidates bwa -a
+    # reports even when the best LOCAL hit trims a flank end
+    # (reference combos need UNCLIP entries, pick_contigs.py:171-282).
+    # bwa only emits an unclipped alignment when extending to the query
+    # ends costs no more than its end-clip penalty (pen_clip5/3 = 5 per
+    # end) — gate on that, or forced fits over clipped repeat decoys
+    # would fabricate UNCLIP hits bwa never reports.
+    END_BONUS = 5
+    fscore, fqend, ftend = sw_pairs(
+        q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "fit",
+        use_pallas=use_pallas)
+    score = first_score
+    for i in range(len(pg)):
+        g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
+        qlen = int(ql_batch[i])
+        side = "left" if qi < 2 else "right"
+        rc = bool(qi % 2)
+        if fscore[i] >= min_score and fscore[i] != score[i] \
+                and fscore[i] >= score[i] - 2 * END_BONUS:
             qstart, tstart, m_sum = sw_host.alignment_stats(
                 q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
                 BWA_PARAMS, "fit", int(fqend[i]), int(ftend[i]))
