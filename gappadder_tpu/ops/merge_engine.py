@@ -24,10 +24,14 @@ MERGE (ContigsCompactor::CompactVer3,
   4. IsScoreSignificant (:1876-1976): overlap >= min frac / len,
      >= 5 bp extension (containment rejected), score >=
      overlap*(1-fracScoreLoss);
-  5. DAG of A->B edges; simple paths enumerated per weakly-connected
-     component in topological order (cycle edges dropped — the
-     reference condenses SCCs, FindSimplePathsTopSort), longest paths
-     kept;
+  5. digraph of A->B edges weighted -overlap; Tarjan SCC condensation
+     gives the topological rank (GraphUtils.cpp:1028-1073); path roots/
+     ends are nodes with no cross-SCC incoming/outgoing edges
+     (FindSimplePathsTopSortStart, :1258-1340); per root, a min-weight
+     (= max total overlap) path DP over rank order ignoring back-edges
+     yields one path per (root, end) pair (FindSimplePathsTopSortFrom,
+     :774-860); per root the longest-by-node-count paths are kept
+     (FindSimplePathsTopSort, :625-771);
   6. path splicing: merged = A[:qstart] + B at each edge (the
      reference's traceback keeps seq2's characters in the overlap);
   7. revcomp-duplicate merged paths removed (RemoveDupRevCompPaths).
@@ -40,6 +44,7 @@ import dataclasses
 import numpy as np
 
 from .. import dna
+from ..utils import log
 from . import sw_host
 from .sw_host import SWParams
 
@@ -58,8 +63,12 @@ class MergeConfig:
     min_support_kmer: int = 1       # -m
     window: int = 1000              # quick-check end-window size
     max_paths_per_gap: int = 32
-    max_path_nodes: int = 64
+    max_path_nodes: int = 64        # MAX_CONTIGS_IN_PATH analog
     dedup_cutoff: float = 0.99      # MergeContigs.py:73-99
+    # DP-bill bounds on fragmented inputs (warn loudly when they bite;
+    # the reference pays the full O(n^2) pair DP instead)
+    max_candidates: int = 2048
+    max_out_edges: int = 4
 
 
 def _kmer_hashes(seq: np.ndarray, k: int) -> np.ndarray:
@@ -197,10 +206,14 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
         return [], []
     # bound the DP bill on fragmented inputs: keep the highest-support
     # candidates (deterministic: support desc, then pair index)
-    MAX_CAND = 2048
-    if len(cand) > MAX_CAND:
+    if len(cand) > cfg.max_candidates:
+        log.warn_cap(
+            "merge_candidates_truncated",
+            "overlap-candidate screen kept %d of %d pairs "
+            "(max_candidates); lowest k-mer-support pairs dropped",
+            cfg.max_candidates, len(cand))
         cand.sort(key=lambda ab: (-int(shared[ab[0], ab[1]]), ab))
-        cand = sorted(cand[:MAX_CAND])
+        cand = sorted(cand[:cfg.max_candidates])
 
     qs = [nodes[a] for a, _ in cand]
     ts = [nodes[b] for _, b in cand]
@@ -226,10 +239,15 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     for (u, v), info in raw_edges.items():
         by_src.setdefault(u, []).append((info[0], v, info))
     edges = {}
-    MAX_OUT = 4
     for u, lst in by_src.items():
         lst.sort(key=lambda x: (-x[0], x[1]))
-        for ov, v, (o, mode, q_e, t_e, a, b) in lst[:MAX_OUT]:
+        if len(lst) > cfg.max_out_edges:
+            log.warn_cap(
+                "merge_out_edges_truncated",
+                "merge graph node kept %d of %d outgoing overlap edges "
+                "(max_out_edges); smallest overlaps dropped",
+                cfg.max_out_edges, len(lst))
+        for ov, v, (o, mode, q_e, t_e, a, b) in lst[:cfg.max_out_edges]:
             if mode == "12":
                 qstart, _, _ = sw_host.alignment_stats(
                     nodes[a], nodes[b], MERGE_PARAMS, "overlap", q_e, t_e)
@@ -242,75 +260,13 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     if not edges:
         return [], []
 
-    # ---- DAG path enumeration (host; graphs are tiny per gap) ----------
-    adj: dict[int, list[int]] = {}
-    for (a, b) in edges:
-        adj.setdefault(a, []).append(b)
-    # drop cycle edges via iterative DFS coloring
-    color = {}
-    kill = set()
-
-    def dfs(u, stack):
-        color[u] = 1
-        for v in adj.get(u, ()):
-            if (u, v) in kill:
-                continue
-            if color.get(v, 0) == 1:
-                kill.add((u, v))
-            elif color.get(v, 0) == 0:
-                dfs(v, stack)
-        color[u] = 2
-
-    import sys
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(10000)
-    try:
-        for u in sorted(adj):
-            if color.get(u, 0) == 0:
-                dfs(u, [])
-    finally:
-        sys.setrecursionlimit(old)
-    for e in kill:
-        edges.pop(e, None)
-        adj[e[0]].remove(e[1])
-
-    # longest-path DP over the DAG (linear; per-node best predecessor —
-    # the practical outcome of the reference's top-k-longest
-    # FindSimplePathsTopSort on per-gap-sized graphs)
-    indeg = {v: 0 for v in range(N)}
-    for (a, b) in edges:
-        indeg[b] += 1
-    from collections import deque
-    dq = deque(v for v in range(N) if indeg[v] == 0)
-    topo = []
-    indeg2 = dict(indeg)
-    while dq:
-        u = dq.popleft()
-        topo.append(u)
-        for v in adj.get(u, ()):
-            indeg2[v] -= 1
-            if indeg2[v] == 0:
-                dq.append(v)
-
-    bestlen = {v: len(nodes[v]) for v in range(N)}
-    parent: dict[int, int | None] = {v: None for v in range(N)}
-    nhops = {v: 1 for v in range(N)}
-    for u in topo:
-        for v in adj.get(u, ()):
-            _, qstart = edges[(u, v)]
-            cand_len = bestlen[u] - len(nodes[u]) + qstart + len(nodes[v])
-            if cand_len > bestlen[v] and nhops[u] < cfg.max_path_nodes:
-                bestlen[v] = cand_len
-                parent[v] = u
-                nhops[v] = nhops[u] + 1
-
-    sinks = sorted((v for v in range(N) if parent[v] is not None),
-                   key=lambda v: (-bestlen[v], v))
+    paths = enumerate_paths(N, edges, cfg)
 
     def splice(p):
         """Merged sequence: at each edge keep the upstream prefix up to
         the overlap start, then all of the downstream contig (the
-        reference keeps seq2's characters in the overlap)."""
+        reference keeps seq2's characters in the overlap,
+        FormMergedSeqFromPath, ContigsCompactor.cpp:1456-1515)."""
         seq = nodes[p[0]]
         for a, b in zip(p, p[1:]):
             _, qstart = edges[(a, b)]
@@ -318,22 +274,180 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
             seq = np.concatenate([seq[:offset + qstart], nodes[b]])
         return seq
 
-    merged, infos, seen, used_head = [], [], set(), set()
-    for v in sinks:
+    merged, infos, seen = [], [], set()
+    for path in paths:
         if len(merged) >= cfg.max_paths_per_gap:
+            log.warn_cap(
+                "merge_paths_truncated",
+                "max_paths_per_gap=%d reached; %d merged path(s) "
+                "dropped", cfg.max_paths_per_gap, len(paths) - len(merged))
             break
-        path = [v]
-        while parent[path[-1]] is not None:
-            path.append(parent[path[-1]])
-        path.reverse()
-        if path[0] in used_head:  # sub-path of an already-emitted chain
-            continue
-        used_head.add(path[0])
         seq = splice(path)
         key = min(seq.tobytes(), dna.revcomp(seq).tobytes())
-        if key in seen:      # RemoveDupRevCompPaths
-            continue
+        if key in seen:      # sequence-level safety net on top of the
+            continue         # path-level RemoveDupRevCompPaths
         seen.add(key)
         merged.append(seq)
-        infos.append(path)
+        infos.append(list(path))
     return merged, infos
+
+
+def _tarjan_scc(N: int, adj: dict[int, list[int]]) -> list[list[int]]:
+    """Iterative Tarjan; SCCs returned in TOPOLOGICAL order of the
+    condensation (the reference reverses Tarjan's output,
+    GraphUtils.cpp:1060-1065)."""
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+    for root in range(N):
+        if root in index:
+            continue
+        # explicit DFS stack: (node, iterator position)
+        work = [(root, 0)]
+        while work:
+            u, pi = work[-1]
+            if pi == 0:
+                index[u] = low[u] = counter[0]
+                counter[0] += 1
+                stack.append(u)
+                on_stack.add(u)
+            nbrs = adj.get(u, ())
+            advanced = False
+            while pi < len(nbrs):
+                v = nbrs[pi]
+                pi += 1
+                if v not in index:
+                    work[-1] = (u, pi)
+                    work.append((v, 0))
+                    advanced = True
+                    break
+                if v in on_stack:
+                    low[u] = min(low[u], index[v])
+            if advanced:
+                continue
+            work.pop()
+            if low[u] == index[u]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == u:
+                        break
+                sccs.append(sorted(comp))
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[u])
+    sccs.reverse()
+    return sccs
+
+
+# per-root path-count limit (MAX_CONTIG_IN_PATH_COUNT = 20,
+# ContigsCompactor.cpp:34; the reference's loop emits max+1 paths —
+# kept faithfully)
+MAX_PATHS_PER_ROOT = 20
+
+
+def enumerate_paths(N: int, edges: dict, cfg: MergeConfig):
+    """FindSimplePathsTopSort parity (GraphUtils.cpp:625-771).
+
+    Returns deduped node-index paths (len >= 2), reference semantics:
+    SCC-condensation rank; roots = nodes with no cross-SCC incoming
+    edge / ends = none outgoing (multi-node SCCs keep at most one
+    representative, :1299-1340); per root a min-weight DP over rank
+    order with edge weight -overlap (back-edges ignored) gives one
+    path per reachable end; per root the longest-by-node-count are
+    kept. Single-node paths (isolated roots) are skipped — the
+    reference emits them but its own dedup pass immediately removes
+    them again.
+    """
+    adj: dict[int, list[int]] = {}
+    radj: dict[int, list[int]] = {}
+    for (a, b) in edges:
+        adj.setdefault(a, []).append(b)
+        radj.setdefault(b, []).append(a)
+    for lst in adj.values():
+        lst.sort()
+
+    sccs = _tarjan_scc(N, adj)
+    scc_of = {}
+    rank = {}
+    r = 0
+    for ci, comp in enumerate(sccs):
+        for v in comp:
+            scc_of[v] = ci
+            rank[v] = r
+            r += 1
+    order = sorted(range(N), key=lambda v: rank[v])
+
+    def candidates(start: bool) -> list[int]:
+        cand = set(range(N))
+        for u in range(N):
+            for v in adj.get(u, ()):
+                if scc_of[u] != scc_of[v]:
+                    cand.discard(v if start else u)
+        # multi-node SCCs: keep one representative only if the whole
+        # SCC survived, else none (GraphUtils.cpp:1299-1340)
+        for comp in sccs:
+            if len(comp) <= 1:
+                continue
+            all_in = all(v in cand for v in comp)
+            keep = comp[0] if start else comp[-1]
+            for v in comp:
+                if v != keep or not all_in:
+                    cand.discard(v)
+        return sorted(cand, key=lambda v: rank[v])
+
+    roots = candidates(True)
+    ends = candidates(False)
+    end_set = set(ends)
+
+    INF = float("inf")
+    all_paths: list[tuple[int, ...]] = []
+    seen_paths: set[tuple[int, ...]] = set()
+    for root in roots:
+        dist = {v: INF for v in range(N)}
+        path: dict[int, tuple[int, ...]] = {root: (root,)}
+        dist[root] = 0.0
+        for u in order:
+            if rank[u] < rank[root] or dist[u] >= INF:
+                continue
+            for v in adj.get(u, ()):
+                if rank[v] < rank[u]:
+                    continue  # back-edge within/into an earlier SCC
+                if len(path[u]) >= cfg.max_path_nodes:
+                    continue
+                w = -float(edges[(u, v)][0])   # weight = -overlap
+                if dist[u] + w < dist[v]:
+                    dist[v] = dist[u] + w
+                    path[v] = path[u] + (v,)
+        found = [path[e] for e in ends
+                 if dist[e] < INF and len(path[e]) > 1]
+        found.sort(key=lambda p: (-len(p), p))
+        for num_out, p in enumerate(found):
+            if num_out > MAX_PATHS_PER_ROOT:
+                break
+            if p not in seen_paths:
+                seen_paths.add(p)
+                all_paths.append(p)
+
+    # RemoveDupRevCompPaths (ContigsCompactor.cpp:1422-1454): drop a
+    # path when its twin-reversed image is also present and ordered
+    # strictly before it
+    n = N // 2
+
+    def rc_path(p):
+        return tuple((v + n) % (2 * n) for v in reversed(p))
+
+    ordered = sorted(all_paths)
+    pos = {p: i for i, p in enumerate(ordered)}
+    out = []
+    for p in ordered:
+        q = rc_path(p)
+        if q in pos and pos[q] < pos[p]:
+            continue
+        out.append(p)
+    return out
