@@ -49,6 +49,11 @@ class Alignments:
     name_hash: np.ndarray  # uint64
     refs: list[str]        # tid -> reference name
     names: list[bytes] | None = None  # optional (tests/debug)
+    # optional full CIGAR retention (keep_cigars=True): flat ragged ops
+    # for exact per-base pileup (Coverage.cpp:14-141 semantics)
+    cig_op: np.ndarray | None = None   # int8 [total_ops] (MIDNSHP=X idx)
+    cig_ln: np.ndarray | None = None   # int32 [total_ops]
+    cig_off: np.ndarray | None = None  # int32 [n+1] record offsets
 
     @property
     def n(self) -> int:
@@ -96,7 +101,8 @@ def _bgzf_compress(payload: bytes) -> bytes:
     return b"".join(out)
 
 
-def read_bam(path: str, keep_names: bool = False) -> Alignments:
+def read_bam(path: str, keep_names: bool = False,
+             keep_cigars: bool = False) -> Alignments:
     with open(path, "rb") as fh:
         raw = _bgzf_decompress(fh.read())
     if raw[:4] != b"BAM\x01":
@@ -117,6 +123,9 @@ def read_bam(path: str, keep_names: bool = False) -> Alignments:
                                    "mpos", "tlen", "lclip", "rclip",
                                    "nmatch", "read_len")}
     names: list[bytes] = []
+    cops: list[int] = []
+    clns: list[int] = []
+    coffs: list[int] = [0]
     n = len(raw)
     while off < n:
         bsz = struct.unpack_from("<i", raw, off)[0]
@@ -152,10 +161,18 @@ def read_bam(path: str, keep_names: bool = False) -> Alignments:
         cols["nmatch"].append(nmatch)
         cols["read_len"].append(l_seq)
         names.append(normalize_name(name))
+        if keep_cigars:
+            for ln, op in ops:
+                cops.append(op)
+                clns.append(ln)
+            coffs.append(len(cops))
 
     arr = {k: np.asarray(v, np.int32) for k, v in cols.items()}
     return Alignments(**arr, name_hash=_fnv1a_batch(names), refs=refs,
-                      names=names if keep_names else None)
+                      names=names if keep_names else None,
+                      cig_op=np.asarray(cops, np.int8) if keep_cigars else None,
+                      cig_ln=np.asarray(clns, np.int32) if keep_cigars else None,
+                      cig_off=np.asarray(coffs, np.int32) if keep_cigars else None)
 
 
 def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:

@@ -61,43 +61,100 @@ def coverage_with_cutoff(aln, contig_lens, cutoff: float):
                                         contig_lens, cutoff)
 
 
+def _cigars_of(aln):
+    if getattr(aln, "cig_op", None) is not None:
+        return (aln.cig_op, aln.cig_ln, aln.cig_off)
+    return None
+
+
 def calc_coverage(aln, contig_lens):
-    """-B calcCoverage -> (mean coverage, covered length) per contig."""
+    """-B calcCoverage -> (mean coverage, covered length) per contig.
+
+    Exact M-segment pileup when the BAM was read with
+    keep_cigars=True (Coverage.cpp:14-141)."""
     return cov_ops.per_base_coverage(np.asarray(aln.tid),
                                      np.asarray(aln.pos),
-                                     np.asarray(aln.nmatch), contig_lens)
+                                     np.asarray(aln.nmatch), contig_lens,
+                                     cigars=_cigars_of(aln))
 
 
 def cnt_contig_linkage(aln, contig_lens, names, insert_size: int,
-                       sd: int, min_mapq: int = 0):
+                       sd: int, read_length: int = 100,
+                       min_support: int = 0, cov_cutoff: float = 1.0):
     """-L cntContigLinkage (refiner.cpp:1141-1304): count paired-end
-    links between different contigs with an insert-size-based distance
-    estimate.
+    links between different contigs with orientation cases and an
+    insert-size distance estimate. Vectorized over the whole BAM
+    (the reference loops per contig region + per record).
 
-    Returns rows (id1, name1, len1, id2, name2, len2, n_pairs,
-    min_dist, max_dist, mean_dist) — the -S connection-table schema.
+    Reference semantics kept exactly:
+      * only FIRST-in-pair records with both ends mapped count
+        (refiner.cpp:1240-1260);
+      * a pair qualifies when both inner distances
+        (len1 - pos, mpos) are <= IS + 3*SD - read_length
+        (:1244-1248);
+      * per-side orientation from the reverse/mate-reverse flags;
+        output signs: left '+'=forward, right '+'=REVERSE — the
+        FR-pair convention of getUniqueContigPairs (:1509-1512);
+      * distance = IS - (len1 - pos) - (mpos + read_length)
+        (calcContigDistance, :1458-1463);
+      * rows grouped by (contig1, contig2, dir1, dir2), kept when
+        n_pairs > min_support (:1513) and the two contigs' per-base
+        coverages are balanced: (max-min)/max <= cov_cutoff
+        (filterByCoverage, :1537-1566).
+
+    Returns rows (id1, name1, len1, dir1, id2, name2, len2, dir2,
+    n_pairs, min_dist, max_dist, mean_dist) — the -S table schema.
     """
     C = len(contig_lens)
+    lens = np.asarray(contig_lens, np.int64)
     tid = np.asarray(aln.tid)
     mtid = np.asarray(aln.mtid)
-    sel = (tid >= 0) & (mtid >= 0) & (tid < C) & (mtid < C) & \
-        (tid != mtid) & (np.asarray(aln.mapq) >= min_mapq) & \
-        ((np.asarray(aln.flag) & 0x4) == 0) & \
-        ((np.asarray(aln.flag) & 0x8) == 0)
-    stats: dict[tuple[int, int], list[int]] = {}
-    lens = np.asarray(contig_lens)
-    pos = np.asarray(aln.pos)
-    for i in np.nonzero(sel)[0]:
-        a, b = int(tid[i]), int(mtid[i])
-        key = (a, b) if a < b else (b, a)
-        # estimated spanned distance: insert minus the anchored parts
-        d = insert_size - (int(lens[a]) - int(pos[i]))
-        stats.setdefault(key, []).append(d)
+    pos = np.asarray(aln.pos).astype(np.int64)
+    mpos = np.asarray(aln.mpos).astype(np.int64)
+    flag = np.asarray(aln.flag)
+
+    ok_ids = (tid >= 0) & (tid < C) & (mtid >= 0) & (mtid < C)
+    both_mapped = ok_ids & ((flag & 0x4) == 0) & ((flag & 0x8) == 0)
+    max_allowed = insert_size + 3 * sd - read_length
+    l_inner = lens[np.clip(tid, 0, C - 1)] - pos
+    qual = both_mapped & (l_inner <= max_allowed) & (mpos <= max_allowed)
+    sel = qual & ((flag & 0x40) != 0) & (tid != mtid)
+    if not sel.any():
+        return []
+
+    ldir = ((flag & 0x10) != 0).astype(np.int64)   # read reverse
+    rdir = ((flag & 0x20) != 0).astype(np.int64)   # mate reverse
+    dist = (insert_size - (lens[np.clip(tid, 0, C - 1)] - pos)
+            - (mpos + read_length)).astype(np.float64)
+
+    key = (((tid.astype(np.int64) * C + mtid) * 2 + ldir) * 2 + rdir)[sel]
+    d = dist[sel]
+    order = np.argsort(key, kind="stable")
+    key, d = key[order], d[order]
+    uniq, starts = np.unique(key, return_index=True)
+    ends = np.append(starts[1:], len(key))
+
+    # coverage-balance filter uses -B per-base coverage of each contig
+    cov, _ = cov_ops.per_base_coverage(
+        tid, np.asarray(aln.pos), np.asarray(aln.nmatch), contig_lens)
+
     rows = []
-    for (a, b), ds in sorted(stats.items()):
-        rows.append((a, names[a], int(lens[a]), b, names[b], int(lens[b]),
-                     len(ds), int(min(ds)), int(max(ds)),
-                     float(np.mean(ds))))
+    for u, s, e in zip(uniq, starts, ends):
+        n = int(e - s)
+        if n <= min_support:
+            continue
+        rd = int(u % 2)
+        ld = int((u // 2) % 2)
+        b = int((u // 4) % C)
+        a = int(u // (4 * C))
+        big, small = max(cov[a], cov[b]), min(cov[a], cov[b])
+        if not (big > 0.0 and (big - small) / big <= cov_cutoff):
+            continue
+        ds = d[s:e]
+        rows.append((a, names[a], int(lens[a]), "-" if ld else "+",
+                     b, names[b], int(lens[b]), "+" if rd else "-",
+                     n, float(ds.min()), float(ds.max()),
+                     float(ds.mean())))
     return rows
 
 
@@ -133,7 +190,7 @@ def evaluate_with_benchmark(aln, bench_lens, cutoff: float = 0.9):
     benchmark seqs covered >= cutoff and per-seq coverage."""
     mean_cov, covered = cov_ops.per_base_coverage(
         np.asarray(aln.tid), np.asarray(aln.pos),
-        np.asarray(aln.nmatch), bench_lens)
+        np.asarray(aln.nmatch), bench_lens, cigars=_cigars_of(aln))
     frac = covered / np.maximum(np.asarray(bench_lens, np.int64), 1)
     return {
         "covered_frac": frac,

@@ -45,13 +45,14 @@ def _suffix_prefix_overlap(a: np.ndarray, b: np.ndarray, window: int = 200):
 
 def build_scaffolds(contigs: list[np.ndarray], names: list[str],
                     links):
-    """links: rows (id1, n1, l1, id2, n2, l2, n_pairs, dmin, dmax,
-    dmean) from cnt_contig_linkage. Returns (records, used) where
-    records is a list of (name, codes)."""
+    """links: rows (id1, n1, l1, dir1, id2, n2, l2, dir2, n_pairs,
+    dmin, dmax, dmean) from cnt_contig_linkage (the reference -S
+    connection-table schema, ScaffoldUtils.cpp:15-63). Returns
+    (records, used) where records is a list of (name, codes)."""
     n = len(contigs)
     support = np.zeros(n, np.int64)
     deg = np.zeros(n, np.int64)
-    for (a, _, _, b, _, _, np_, _, _, _) in links:
+    for (a, _, _, _d1, b, _, _, _d2, np_, _, _, _) in links:
         support[a] += np_
         support[b] += np_
         deg[a] += 1
@@ -60,13 +61,13 @@ def build_scaffolds(contigs: list[np.ndarray], names: list[str],
 
     # keep strong links, sorted by support descending
     strong = [r for r in links
-              if r[6] >= min(avg[r[0]], avg[r[3]])]
-    strong.sort(key=lambda r: -r[6])
+              if r[8] >= min(avg[r[0]], avg[r[4]])]
+    strong.sort(key=lambda r: -r[8])
 
     nxt = {}
     prev = {}
     joins = {}
-    for (a, _, _, b, _, _, np_, dmin, dmax, dmean) in strong:
+    for (a, _, _, _d1, b, _, _, _d2, np_, dmin, dmax, dmean) in strong:
         if a in nxt or b in prev:
             continue  # each node joins at most one chain on each side
         nxt[a] = b

@@ -64,12 +64,14 @@ def test_linkage_and_scaffolding(rng):
     # simulate 10 pairs linking A(tid 0) -> B(tid 1)
     aln = FakeAln(
         tid=[0] * 10, mtid=[1] * 10, pos=list(range(200, 250, 5)),
-        mapq=[60] * 10, flag=[0x1] * 10,
+        mapq=[60] * 10, flag=[0x1 | 0x40 | 0x20] * 10,
         nmatch=[100] * 10, read_len=[100] * 10, lclip=[0] * 10,
         rclip=[0] * 10, mpos=[10] * 10, tlen=[0] * 10)
     links = refiner.cnt_contig_linkage(aln, [300, 290], ["A", "B"],
                                        insert_size=150, sd=20)
-    assert len(links) == 1 and links[0][6] == 10
+    assert len(links) == 1 and links[0][8] == 10
+    # FR pair (fwd read, reverse mate): left '+' and right '+'
+    assert links[0][3] == "+" and links[0][7] == "+"
     recs, used = scaffold.build_scaffolds([A, B], ["A", "B"], links)
     assert len(recs) == 1
     name, seq = recs[0]
@@ -101,3 +103,69 @@ def test_true_gap_extraction_and_closure(tmp_path, rng):
     bad = rng.integers(0, 4, 150).astype(np.int8)
     stats2 = evaluate.closure_stats({0: bad}, truths)
     assert stats2["hit_list"] == []
+
+
+def test_exact_per_base_coverage_with_cigars(tmp_path, rng):
+    """Exact M-segment pileup (Coverage.cpp:14-141): interior deletions
+    must advance the target cursor — the nmatch-span approximation gets
+    this wrong; retained CIGARs must get it right."""
+    from gappadder_tpu.io import bam as bam_io
+    from gappadder_tpu.ops import coverage as cov_ops
+    refs = [("c0", 100)]
+    # read: 10M5D10M at pos 0 -> covers [0,10) and [15,25)
+    recs = [dict(name="r0", flag=0, tid=0, pos=0, mapq=60,
+                 cigar=[("M", 10), ("D", 5), ("M", 10)],
+                 mtid=-1, mpos=-1, tlen=0, seq="A" * 20)]
+    p = str(tmp_path / "cov.bam")
+    bam_io.write_bam(p, refs, recs)
+    aln = bam_io.read_bam(p, keep_cigars=True)
+    assert aln.cig_off is not None and aln.cig_off[-1] == 3
+
+    mean_ex, cov_ex = cov_ops.per_base_coverage(
+        aln.tid, aln.pos, aln.nmatch, [100],
+        cigars=(aln.cig_op, aln.cig_ln, aln.cig_off))
+    assert cov_ex[0] == 20            # 10 + 10, deletion gap NOT covered
+    assert abs(mean_ex[0] - 20 / 100) < 1e-12
+
+    mean_ap, cov_ap = cov_ops.per_base_coverage(
+        aln.tid, aln.pos, aln.nmatch, [100])
+    assert cov_ap[0] == 20            # approximation: [0,20) contiguous
+    # difference shows in the depth layout: exact leaves [10,15) empty
+    rec, s, e = cov_ops.m_segments(aln.pos, aln.cig_op, aln.cig_ln,
+                                   aln.cig_off)
+    assert list(s) == [0, 15] and list(e) == [10, 25]
+
+
+def test_linkage_orientation_cases_and_cov_filter(rng):
+    """-L parity: orientation signs per reference convention; pairs
+    failing the inner-distance window dropped; coverage-balance filter
+    (refiner.cpp:1244-1248, 1509-1512, 1537-1566)."""
+    # contig 0 len 300, contig 1 len 300; IS 200 sd 10, read 100
+    # max_allowed = 200+30-100 = 130
+    flags_base = 0x1 | 0x40
+    aln = FakeAln(
+        tid=[0, 0, 0, 0], mtid=[1, 1, 1, 1],
+        pos=[250, 250, 250, 100],     # last: l_inner=200 > 130 -> drop
+        mpos=[20, 20, 20, 20],
+        mapq=[60] * 4,
+        # two FR pairs (mate reverse), one RF pair (read reverse)
+        flag=[flags_base | 0x20, flags_base | 0x20, flags_base | 0x10,
+              flags_base | 0x20],
+        nmatch=[100] * 4, read_len=[100] * 4,
+        lclip=[0] * 4, rclip=[0] * 4, tlen=[0] * 4)
+    rows = refiner.cnt_contig_linkage(aln, [300, 300], ["A", "B"],
+                                      insert_size=200, sd=10,
+                                      read_length=100)
+    # grouped by orientation: (+,+) x2 and (-,-) x1
+    assert len(rows) == 2
+    by_dir = {(r[3], r[7]): r for r in rows}
+    assert by_dir[("+", "+")][8] == 2
+    assert by_dir[("-", "-")][8] == 1
+    # distance: 200 - (300-250) - (20+100) = 30
+    assert by_dir[("+", "+")][9] == 30.0
+    # coverage filter: contig 1 has zero coverage in this aln (no
+    # records with tid=1) -> (max-min)/max = 1 -> cutoff 0.5 kills all
+    rows2 = refiner.cnt_contig_linkage(aln, [300, 300], ["A", "B"],
+                                       insert_size=200, sd=10,
+                                       read_length=100, cov_cutoff=0.5)
+    assert rows2 == []
