@@ -1,0 +1,346 @@
+"""The REAL sharded pipeline slice: classify -> gap-home route ->
+dedup/join -> group -> k-mer count -> DBG assembly -> flank SW, fused
+in ONE shard_map jit over the device mesh.
+
+This is the production dataplane of collect+assemble (SURVEY.md §7
+step 6) under its real shardings, not a demo kernel:
+
+  alignment records, name hashes   sharded along the mesh (dp)
+  window/gap tables, FASTQ name
+  table, read store, flanks        replicated
+  recruitment entries              ragged all-to-all to the gap-home
+                                   shard (gap % n_shards) via
+                                   parallel/dist.py
+  per-gap dedup + join + grouping
+  + distinct-k-mer count + unitig
+  assembly + flank SW scoring      local to the home shard
+  k-mer spectrum histogram,
+  class counts                     psum over the mesh
+
+Every gap's read set lands wholly on its home shard, so the per-gap
+stages are bit-identical to the single-device program — the property
+the mesh-equality tests assert. The reference's counterpart is the
+per-gap FASTQ dispatch + per-gap process pool
+(/root/reference/run_multi_threads_discordant.py:194-241,
+/root/reference/assemble_gaps.py:296-318).
+
+The low-mapq second pass and multi-library merge stay in the host
+pipeline (pipeline/collect.py); this slice is the scale-out inner
+loop, also used by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import dna
+from ..ops import dbg, kmers, sw_xla
+from ..ops.classify import classify_reads
+from ..ops.recruit import dedup_and_join
+from ..ops.sw_host import SWParams
+from . import dist
+
+HIST_BUCKETS = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceDims:
+    """Static shape/config bundle for the fused step."""
+    n_shards: int
+    n_gaps: int          # global gap count G
+    gaps_per_shard: int  # Gl = ceil(G / n_shards)
+    entry_cap: int       # per-shard recruit-entry receive capacity E
+    reads_per_gap: int   # R
+    n_left: int          # rows in the left FASTQ table (side offset)
+    k: int = 17
+    sub_k: int = 15
+    max_distinct: int = 256
+    max_unitigs: int = 4
+    max_contig_len: int = 512
+    min_contig_len: int = 40
+    fanout: int = 4
+    dist1: int = 210
+    dist2: int = 390
+    clip_dist: int = 250
+    anchor_mapq: int = 30
+    hq_mapq: int = 60
+    route_impl: str = "dense"
+
+
+def _extract_entries(out, mapq, name_hi, name_lo, dims: SliceDims):
+    """Flatten classification hits into (gap, side, hi, lo, hq, valid)."""
+    parts = []
+    for kind, sidekey in (("clip", "side_self"), ("disc", "side_mate"),
+                          ("unmap", "side_mate")):
+        mask = out[kind]                       # [B, K]
+        gap = out["gap"]
+        side = out[sidekey]
+        B, K = mask.shape
+        hi = jnp.broadcast_to(name_hi[:, None], (B, K))
+        lo = jnp.broadcast_to(name_lo[:, None], (B, K))
+        hq = jnp.broadcast_to((mapq == dims.hq_mapq)[:, None], (B, K))
+        parts.append((gap.reshape(-1), side.reshape(-1), hi.reshape(-1),
+                      lo.reshape(-1), hq.reshape(-1), mask.reshape(-1)))
+    cat = tuple(jnp.concatenate([p[i] for p in parts]) for i in range(6))
+    gap, side, hi, lo, hq, valid = cat
+    return gap, side, hi, lo, hq, valid & (gap >= 0)
+
+
+def _group_rows(gap, side, row, hq, valid, dims: SliceDims):
+    """Scatter joined recruits into a [Gl, R] global-read-row table."""
+    Gl, R = dims.gaps_per_shard, dims.reads_per_gap
+    lg = gap // dims.n_shards
+    grow = row + side * dims.n_left
+    key = jnp.where(valid, lg, Gl).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    grow_s = grow[order]
+    hq_s = hq[order]
+    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             key_s[1:] != key_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - run_start
+    rowtab = jnp.full((Gl, R), -1, jnp.int32).at[
+        (key_s, rank)].set(grow_s, mode="drop")
+    hqtab = jnp.zeros((Gl, R), bool).at[
+        (key_s, rank)].set(hq_s, mode="drop")
+    n_reads = jnp.zeros(Gl, jnp.int32).at[key_s].add(
+        (key_s < Gl).astype(jnp.int32), mode="drop")
+    return rowtab, hqtab, jnp.minimum(n_reads, R)
+
+
+def _distinct_kmers(seq, rlen, dims: SliceDims):
+    """Distinct canonical k-mers + counts per local gap (pure jit)."""
+    from ..pipeline.assemble import FULL, _merge_chunk
+    Gl = seq.shape[0]
+    acc = jnp.full((Gl, dims.max_distinct, kmers.num_limbs(dims.k)),
+                   FULL, jnp.uint32)
+    cnt = jnp.zeros((Gl, dims.max_distinct), jnp.int32)
+    acc, cnt = _merge_chunk(seq, rlen, acc, cnt, dims.k)
+    distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+    nk = jnp.sum(distinct, axis=-1).astype(jnp.int32)
+    kstr = dbg.unpack_kmers_to_strings(acc, dims.k)
+    return acc, kstr, nk, cnt, distinct
+
+
+def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
+          name_hi, name_lo,
+          wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
+          tbl_hi, tbl_lo, tbl_row, tbl_side,
+          reads_tbl, reads_len, flank_l, flank_r, flank_ll, flank_rl,
+          *, dims: SliceDims, axis):
+    N = dims.n_shards
+    me = jax.lax.axis_index(axis)
+
+    # ---- classify my slice of the records (windows replicated) ---------
+    out = classify_reads(
+        tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
+        wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
+        dist1=dims.dist1, dist2=dims.dist2, clip_dist=dims.clip_dist,
+        anchor_mapq=dims.anchor_mapq, short_insert=True,
+        fanout=dims.fanout)
+    counts = jax.lax.psum(jnp.stack(
+        [jnp.sum(out[k]).astype(jnp.int32)
+         for k in ("clip", "disc", "unmap")]), axis)
+
+    # ---- route recruitment entries to their gap-home shard -------------
+    gap, side, hi, lo, hq, valid = _extract_entries(
+        out, mapq, name_hi, name_lo, dims)
+    (rgap, rside, rhi, rlo, rhq), _src, n_recv = dist.route_shard(
+        (gap, side, hi, lo, hq.astype(jnp.int32)),
+        dest=gap % N, valid=valid, axis=axis, n_shards=N,
+        out_cap=dims.entry_cap, impl=dims.route_impl)
+
+    # ---- home-shard dedup + FASTQ join (tables replicated) -------------
+    g2, s2, row2, hq2, ok2 = dedup_and_join(
+        rgap, rside, rhi.astype(jnp.uint32), rlo.astype(jnp.uint32),
+        rhq.astype(bool), tbl_hi, tbl_lo, tbl_row, tbl_side)
+
+    # ---- group per local gap, gather read payloads ----------------------
+    rowtab, _hqtab, n_reads = _group_rows(g2, s2, row2, hq2, ok2, dims)
+    Ntot = reads_tbl.shape[0]
+    safe = jnp.clip(rowtab, 0, Ntot - 1)
+    live = rowtab >= 0
+    seq = jnp.where(live[..., None], reads_tbl[safe], dna.N)
+    rlen = jnp.where(live, reads_len[safe], 0)
+
+    # ---- distinct k-mers + global spectrum histogram --------------------
+    acc, kstr, nk, kcnt, distinct = _distinct_kmers(seq, rlen, dims)
+    h = (acc[..., 0] >> 16) % HIST_BUCKETS
+    hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[
+        jnp.where(distinct, h, 0).reshape(-1)].add(
+        distinct.reshape(-1).astype(jnp.int32), mode="drop")
+    hist = jax.lax.psum(hist, axis)
+
+    # ---- per-gap DBG unitig assembly (local to the home shard) ----------
+    useq, ulen, ucnt = dbg.assemble_unitigs(
+        kstr, nk, kcnt, k=dims.k, sub_k=dims.sub_k,
+        max_unitigs=dims.max_unitigs, max_len=dims.max_contig_len,
+        min_len=dims.min_contig_len)
+
+    # ---- flank pick scoring: both flanks vs the longest unitig ----------
+    # home = gap % N at local slot gap // N, so slot j holds gap me + j*N
+    Gl = dims.gaps_per_shard
+    myg = jnp.clip(me + jnp.arange(Gl) * N, 0, dims.n_gaps - 1)
+    best = jnp.argmax(ulen, axis=1)
+    t = useq[jnp.arange(Gl), best]
+    tl = ulen[jnp.arange(Gl), best]
+    trc = dna.revcomp_jnp(t, tl)   # unitig strand is canonical-arbitrary
+    q = jnp.concatenate([flank_l[myg], flank_r[myg]], axis=0)
+    ql = jnp.concatenate([flank_ll[myg], flank_rl[myg]])
+    t4 = jnp.concatenate([t, t, trc, trc], axis=0)
+    tl4 = jnp.concatenate([tl, tl, tl, tl])
+    q2 = jnp.concatenate([q, q], axis=0)
+    ql2 = jnp.concatenate([ql, ql])
+    score, _qe, _te = sw_xla.sw_batch(
+        q2, ql2, jnp.maximum(t4, 0).astype(jnp.int8),
+        jnp.maximum(tl4, 1), SWParams(), "local")
+    score = jnp.max(score.reshape(2, 2, Gl), axis=0)  # over strands
+
+    return (counts, hist, n_recv, n_reads, useq, ulen, ucnt,
+            score.reshape(2, Gl).T)
+
+
+def make_slice_step(mesh, dims: SliceDims):
+    """Jitted fused step over `mesh` (all axes flattened as dp)."""
+    axes = tuple(mesh.axis_names)
+    axis = axes[0] if len(axes) == 1 else axes
+    dp, rep = P(axes), P()
+    fn = functools.partial(_step, dims=dims, axis=axis)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(dp,) * 11 + (rep,) * 17,
+        out_specs=(rep, rep, dp, dp, dp, dp, dp, dp),
+        check_vma=False))
+
+
+# gap-home ownership: gap g lives on shard g % N at local slot g // N
+def home_of(gap: np.ndarray, n_shards: int):
+    return gap % n_shards, gap // n_shards
+
+
+def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
+                 read_len: int = 48, step: int = 4, flank_len: int = 96,
+                 route_impl: str = "dense"):
+    """Tiny planted scenario: G gaps on one scaffold, clipped reads
+    tiling each gap region so the DBG closes it; returns (dims, args,
+    in_shardings meta) ready for make_slice_step."""
+    from ..ops import intervals
+    from ..ops.classify import build_gap_windows
+
+    G = n_shards * gaps_per_shard
+    rng = np.random.default_rng(seed)
+    span, gap_off, gap_len = 400, 200, 64
+    L = G * span + 2 * flank_len
+    truth = rng.integers(0, 4, L).astype(np.int8)
+    gs = np.array([flank_len + g * span + gap_off for g in range(G)],
+                  np.int32)
+    ge = gs + gap_len
+
+    # clipped reads tiling [gs - margin, ge + margin)
+    recs = {k: [] for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos",
+                            "tlen", "lclip", "rclip")}
+    names_hi, names_lo, seqs = [], [], []
+    margin = read_len - 8
+    row = 0
+    for g in range(G):
+        for a in range(gs[g] - margin, ge[g] + margin - read_len + 1, step):
+            b = a + read_len
+            seqs.append(truth[a:b])
+            # soft-clipped at the nearer gap edge, anchored outside
+            if a < gs[g]:
+                pos, lc, rc = a, 0, max(b - gs[g], 1)
+            else:
+                pos, lc, rc = ge[g], max(ge[g] - a, 1), 0
+            recs["tid"].append(0)
+            recs["pos"].append(pos)
+            recs["flag"].append(0x41)     # paired, first in pair
+            recs["mapq"].append(60)
+            recs["mtid"].append(0)
+            recs["mpos"].append(pos)
+            recs["tlen"].append(300)
+            recs["lclip"].append(lc)
+            recs["rclip"].append(rc)
+            names_hi.append(0)
+            names_lo.append(row)
+            row += 1
+    n_rec = row
+    B = -(-n_rec // n_shards) * n_shards        # pad to shardable
+    pad = B - n_rec
+    for k in recs:
+        fill = -2 if k in ("tid", "mtid") else 0
+        recs[k] = np.asarray(recs[k] + [fill] * pad, np.int32)
+    name_hi = np.asarray(names_hi + [0xFFFFFFFF] * pad, np.uint32)
+    name_lo = np.asarray(names_lo + [0xFFFFFFFF] * pad, np.uint32)
+
+    reads_tbl = np.full((n_rec, read_len), dna.N, np.int8)
+    for i, s in enumerate(seqs):
+        reads_tbl[i] = s
+    reads_len = np.full(n_rec, read_len, np.int32)
+    tbl_hi = np.zeros(n_rec, np.uint32)
+    tbl_lo = np.arange(n_rec, dtype=np.uint32)
+    tbl_row = np.arange(n_rec, dtype=np.int32)
+    tbl_side = np.zeros(n_rec, np.int32)
+
+    win = build_gap_windows(jnp.zeros(G, jnp.int32), jnp.asarray(gs),
+                            jnp.asarray(ge), dist2=390, clip_dist=250)
+    res = intervals.sort_windows(win["tid"], win["start"], win["end"],
+                                 win["gap"], win["edge"])
+    wtid, wstart, wend, wgap, wedge = (np.asarray(r) for r in res)
+
+    flank_l = np.zeros((G, flank_len), np.int8)
+    flank_r = np.zeros((G, flank_len), np.int8)
+    for g in range(G):
+        flank_l[g] = truth[gs[g] - flank_len:gs[g]]
+        flank_r[g] = truth[ge[g]:ge[g] + flank_len]
+    flank_ll = np.full(G, flank_len, np.int32)
+    flank_rl = np.full(G, flank_len, np.int32)
+
+    reads_per_gap_actual = (margin * 2 + gap_len - read_len) // step + 1
+    dims = SliceDims(
+        n_shards=n_shards, n_gaps=G, gaps_per_shard=gaps_per_shard,
+        entry_cap=max(64, 4 * gaps_per_shard * reads_per_gap_actual),
+        reads_per_gap=1 << (reads_per_gap_actual - 1).bit_length(),
+        n_left=n_rec, max_distinct=1 << 10,
+        max_contig_len=1 << (gap_len + 2 * margin).bit_length(),
+        route_impl=route_impl)
+
+    args = (recs["tid"], recs["pos"], recs["flag"], recs["mapq"],
+            recs["mtid"], recs["mpos"], recs["tlen"], recs["lclip"],
+            recs["rclip"], name_hi, name_lo,
+            wtid, wstart, wend, wgap, wedge, gs, ge,
+            tbl_hi, tbl_lo, tbl_row, tbl_side,
+            reads_tbl, reads_len, flank_l, flank_r, flank_ll, flank_rl)
+    return dims, args
+
+
+def arg_shardings(mesh):
+    """The step's input shardings (11 dp + 17 replicated)."""
+    axes = tuple(mesh.axis_names)
+    dp = NamedSharding(mesh, P(axes))
+    rep = NamedSharding(mesh, P())
+    return [dp] * 11 + [rep] * 17
+
+
+def place_args(mesh, args):
+    """device_put each arg with the step's sharding (single process)."""
+    return tuple(jax.device_put(a, s)
+                 for a, s in zip(args, arg_shardings(mesh)))
+
+
+def place_args_global(mesh, args):
+    """Multi-process placement: every process passes the same GLOBAL
+    numpy args; each materialises only its addressable shards."""
+    out = []
+    for a, s in zip(args, arg_shardings(mesh)):
+        a = np.asarray(a)
+        out.append(jax.make_array_from_callback(
+            a.shape, s, lambda idx, _a=a: _a[idx]))
+    return tuple(out)
