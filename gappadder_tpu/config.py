@@ -21,8 +21,12 @@ class Library:
     """One read library: its BAM alignment + raw FASTQ pair.
 
     Mirrors the paired "alignments" / "raw_reads" records of the
-    reference config (/root/reference/configuration.json)."""
-    bam: str
+    reference config (/root/reference/configuration.json). bam=None
+    selects the SELF-MAPPING mode: reads are placed on the draft by the
+    built-in minimizer mapper (ops/minimap.py) instead of an externally
+    produced `bwa mem` BAM — a capability the reference does not have
+    (it requires pre-aligned BAMs, README.md:46-84)."""
+    bam: str | None
     insert_size: int
     std: int
     left_fq: str | None = None
@@ -111,7 +115,8 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
         if i < len(raw_reads):
             left = _resolve(raw_reads[i].get("left"))
             right = _resolve(raw_reads[i].get("right"))
-        libs.append(Library(bam=_resolve(rec["bam"]), insert_size=int(rec["is"]),
+        libs.append(Library(bam=_resolve(rec.get("bam")),
+                            insert_size=int(rec["is"]),
                             std=int(rec["std"]), left_fq=left, right_fq=right))
 
     kmers = []

@@ -117,17 +117,20 @@ def build_index(genome: fasta.Genome, k: int = 17, w: int = 8,
         lo = max(0, start - overlap)
         h, s = canonical_kmer_hashes(seq[lo:end], k)
         picks = _minimizer_positions(h, w)
-        gpos = picks + lo
-        keep = gpos >= start  # windows fully reported by previous chunk
-        if start == 0:
-            keep = np.ones(len(gpos), bool)
-        keys_l.append(h[picks[keep]])
-        pos_l.append(gpos[keep])
-        str_l.append(s[picks[keep]])
+        # keep every pick: windows spanning the chunk cut are evaluated
+        # by BOTH chunks (overlap = k+w-2), so boundary minimizers are
+        # duplicated here and deduped by position below — never lost
+        # (index contents must not depend on chunk size).
+        keys_l.append(h[picks])
+        pos_l.append(picks + lo)
+        str_l.append(s[picks])
         start = end
     keys = np.concatenate(keys_l) if keys_l else np.zeros(0, _U64)
     pos = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
     strand = np.concatenate(str_l) if str_l else np.zeros(0, np.uint8)
+    pos, uniq_idx = np.unique(pos, return_index=True)
+    keys = keys[uniq_idx]
+    strand = strand[uniq_idx]
     order = np.argsort(keys, kind="stable")
     return MinimizerIndex(k=k, w=w, keys=keys[order], pos=pos[order],
                           strand=strand[order], max_occ=max_occ)
@@ -136,20 +139,25 @@ def build_index(genome: fasta.Genome, k: int = 17, w: int = 8,
 @dataclasses.dataclass
 class Placements:
     """Best placement per read (global coordinates)."""
-    gstart: np.ndarray    # int64 [N] global start (-1 unmapped)
+    gstart: np.ndarray    # int64 [N] global start of the ALIGNED part
+    #                       (i.e. after the left clip; -1 unmapped)
     strand: np.ndarray    # uint8 [N] 1 = reverse
-    nmatch: np.ndarray    # int32 [N] matching bases after verification
-    lclip: np.ndarray     # int32 [N] soft clip at scaffold edge (left)
+    nmatch: np.ndarray    # int32 [N] matching bases in the kept segment
+    lclip: np.ndarray     # int32 [N] soft clip (mapping orientation)
     rclip: np.ndarray     # int32 [N]
     mapq: np.ndarray      # int32 [N]
 
 
 def map_reads(genome: fasta.Genome, index: MinimizerIndex,
               seq: np.ndarray, length: np.ndarray,
-              min_votes: int = 2, min_identity: float = 0.9,
+              min_votes: int = 2, min_identity: float = 0.8,
+              min_score: int = 30,
               max_hits_per_seed: int = 16) -> Placements:
     """Place each read on the draft: minimizer lookup -> exact-diagonal
-    voting -> gather-and-compare verification -> mapq from vote margin.
+    voting -> gather-and-compare verification with Kadane soft-clipping
+    (match +1 / mismatch -4, the bwa-mem scoring shape, so low-identity
+    read ends — e.g. bases hanging into a gap's N-run — are clipped the
+    way bwa would) -> mapq from vote margin.
 
     seq: int8 [N, Lmax]; length: int32 [N].
     """
@@ -157,7 +165,6 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     k, w = index.k, index.w
 
     # ---- read minimizers (vectorized over the batch) --------------------
-    cand_read, cand_strand, cand_diag = [], [], []
     flat = []
     for i in range(N):
         ln = int(length[i])
@@ -200,8 +207,7 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     # ---- diagonal voting (exact bins + neighbor merge) -------------------
     # key = (read, strand, gstart); votes = multiplicity
     vkey = (reads << 34) | (mstrand << 33) | (gstart + (1 << 32))
-    vkey, vinv, votes = np.unique(vkey, return_inverse=True,
-                                  return_counts=True)
+    vkey, votes = np.unique(vkey, return_counts=True)
     # merge votes from gstarts within +/-4 (small indels / edge wobble)
     merged = votes.astype(np.int64).copy()
     for d in (1, 2, 3, 4):
@@ -214,30 +220,27 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     np.maximum.at(best_votes, vread, merged)
     is_best = merged == best_votes[vread]
     # leftmost best candidate per read (deterministic tie-break)
-    first_best = np.full(N, -1, np.int64)
-    idxs = np.flatnonzero(is_best)
-    np.minimum.at(first_best, vread[idxs],
-                  np.where(first_best[vread[idxs]] < 0, idxs,
-                           first_best[vread[idxs]]))
-    # np.minimum.at with -1 sentinel is wrong; rebuild properly:
     first_best = np.full(N, len(vkey), np.int64)
-    np.minimum.at(first_best, vread[idxs], idxs)
-    # second-best vote count (different diagonal group, > 4 apart)
+    np.minimum.at(first_best, vread[is_best], np.flatnonzero(is_best))
+    have = first_best < len(vkey)
+    cand = np.clip(first_best, 0, max(len(vkey) - 1, 0))
+    # second-best vote count: EVERY entry of the same read whose vkey
+    # (read|strand|gstart) is within 4 of the winner belongs to the
+    # winning diagonal group and must not count as a competitor —
+    # otherwise a uniquely-mapped read with seed wobble across adjacent
+    # bins gets margin ~1 and a junk mapq.
+    winner_key = np.where(have, vkey[cand].astype(np.int64), -(1 << 62))
+    far = np.abs(vkey.astype(np.int64) - winner_key[vread]) > 4
     second = np.zeros(N, np.int64)
-    far = np.ones(len(vkey), bool)
-    fb = np.clip(first_best, 0, max(len(vkey) - 1, 0))
-    far[idxs] = np.abs(vkey[idxs] - vkey[fb[vread[idxs]]]) > 4
     np.maximum.at(second, vread[far], merged[far])
 
-    have = (first_best < len(vkey))
-    cand = np.clip(first_best, 0, max(len(vkey) - 1, 0))
     c_votes = np.where(have, merged[cand], 0)
     c_strand = np.where(have, (vkey[cand] >> 33) & 1, 0).astype(np.uint8)
     c_gstart = np.where(have, (vkey[cand] & ((1 << 33) - 1)) - (1 << 32),
                         -1)
     mapped = have & (c_votes >= min_votes)
 
-    # ---- verification: gather genome slice, compare ----------------------
+    # ---- verification: gather genome slice, Kadane soft-clip ------------
     glen = len(genome.seq)
     rl_all = rlen_of
     gs = np.where(mapped, c_gstart, 0)
@@ -257,24 +260,35 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     if genome.num_scaffolds:
         s_lo = genome.offsets[scaf]
         s_hi = genome.offsets[scaf] + genome.lengths[scaf]
-        inscaf = (cols >= s_lo[:, None]) & (cols < s_hi[:, None])
-        match = match & inscaf
-        valid_col = inb & inscaf
-    else:
-        valid_col = inb
-    nmatch = match.sum(axis=1).astype(np.int32)
-    covered = valid_col.sum(axis=1).astype(np.int32)
-    good = mapped & (covered > 0) & \
-        (nmatch >= (min_identity * covered).astype(np.int32)) & \
-        (nmatch >= (0.5 * rl_all).astype(np.int32))
+        match = match & (cols >= s_lo[:, None]) & (cols < s_hi[:, None])
 
-    # clips = read bases hanging off the scaffold ends
-    firstc = np.argmax(valid_col, axis=1).astype(np.int32)
-    lastc = (Lmax - 1 - np.argmax(valid_col[:, ::-1], axis=1)).astype(
-        np.int32)
-    lclip = np.where(good, firstc, 0).astype(np.int32)
-    rclip = np.where(good, np.maximum(
-        rl_all.astype(np.int32) - 1 - lastc, 0), 0).astype(np.int32)
+    # max-sum segment per row (match +1, mismatch -4, padding -inf):
+    # the kept segment is the alignment, the rest are soft clips
+    in_read = np.arange(Lmax)[None, :] < rl_all[:, None]
+    s = np.where(match, 1, np.where(in_read, -4, -10 * Lmax)).astype(
+        np.int64)
+    pref = np.zeros((N, Lmax + 1), np.int64)
+    np.cumsum(s, axis=1, out=pref[:, 1:])
+    cummin = np.minimum.accumulate(pref, axis=1)
+    gain = pref[:, 1:] - cummin[:, :-1]
+    seg_end = np.argmax(gain, axis=1).astype(np.int64) + 1
+    seg_score = gain[np.arange(N), seg_end - 1]
+    # segment start = first index achieving the running prefix minimum
+    is_min = pref == cummin
+    min_idx = np.maximum.accumulate(
+        np.where(is_min, np.arange(Lmax + 1)[None, :], 0), axis=1)
+    seg_start = min_idx[np.arange(N), seg_end - 1]
+
+    mpref = np.zeros((N, Lmax + 1), np.int64)
+    np.cumsum(match, axis=1, out=mpref[:, 1:])
+    nmatch = (mpref[np.arange(N), seg_end] -
+              mpref[np.arange(N), seg_start]).astype(np.int32)
+    seg_len = (seg_end - seg_start).astype(np.int32)
+    good = mapped & (seg_score >= min_score) & \
+        (nmatch >= (min_identity * seg_len).astype(np.int32))
+
+    lclip = np.where(good, seg_start, 0).astype(np.int32)
+    rclip = np.where(good, rl_all - seg_end, 0).astype(np.int32)
 
     margin = c_votes - second
     mapq = np.where(second == 0, 60,
@@ -282,7 +296,91 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     mapq = np.where(good, mapq, 0)
 
     return Placements(
-        gstart=np.where(good, c_gstart, -1),
+        gstart=np.where(good, c_gstart + lclip, -1),
         strand=np.where(good, c_strand, 0).astype(np.uint8),
         nmatch=np.where(good, nmatch, 0),
         lclip=lclip, rclip=rclip, mapq=mapq)
+
+
+def map_library(genome: fasta.Genome, index: MinimizerIndex,
+                left, right, batch: int = 1 << 15, **map_kwargs):
+    """Map a paired library (two fastq.ReadSets) and emit the columnar
+    Alignments the collect stage consumes — the self-serve replacement
+    for the externally-supplied `bwa mem` BAM the reference REQUIRES
+    (/root/reference/configuration.json "alignments", README.md:46-84).
+
+    Pairing convention (matching what a mapper writes): left = first in
+    pair (0x40), right = second (0x80); an unmapped read is placed at
+    its mapped mate's coordinate; tlen is signed outer distance on the
+    leftmost read. Read order in the output is (all left rows, then all
+    right rows), so row i pairs with row n_left + i.
+    """
+    from ..io import bam as bam_io
+
+    n_l, n_r = left.n, right.n
+    assert n_l == n_r, "paired library FASTQs differ in length"
+
+    def run(rs):
+        outs = []
+        for lo in range(0, rs.n, batch):
+            hi = min(lo + batch, rs.n)
+            outs.append(map_reads(genome, index, rs.seq[lo:hi],
+                                  rs.length[lo:hi], **map_kwargs))
+        return Placements(*(np.concatenate([getattr(o, f.name)
+                                            for o in outs])
+                            for f in dataclasses.fields(Placements)))
+
+    pl, pr = run(left), run(right)
+    n = n_l
+
+    def side_cols(p, q, first: bool, rs, mate_rs):
+        """Columns for one side; q is the mate's placements."""
+        self_ok = p.gstart >= 0
+        mate_ok = q.gstart >= 0
+        scafs = genome.scaffold_index(np.clip(p.gstart, 0, None))
+        scafm = genome.scaffold_index(np.clip(q.gstart, 0, None))
+        tid = np.where(self_ok, scafs, np.where(mate_ok, scafm, -1))
+        loc = genome.to_local(np.clip(p.gstart, 0, None)).astype(np.int64)
+        locm = genome.to_local(np.clip(q.gstart, 0, None)).astype(np.int64)
+        pos = np.where(self_ok, loc, np.where(mate_ok, locm, -1))
+        mtid = np.where(mate_ok, scafm, np.where(self_ok, scafs, -1))
+        mpos = np.where(mate_ok, locm, np.where(self_ok, loc, -1))
+
+        flag = np.full(n, 0x1 | (0x40 if first else 0x80), np.int32)
+        flag |= np.where(self_ok, 0, 0x4)
+        flag |= np.where(mate_ok, 0, 0x8)
+        flag |= np.where(self_ok & (p.strand == 1), 0x10, 0)
+        flag |= np.where(mate_ok & (q.strand == 1), 0x20, 0)
+
+        span_s = rs.length.astype(np.int64) - p.lclip - p.rclip
+        span_m = mate_rs.length.astype(np.int64) - q.lclip - q.rclip
+        both = self_ok & mate_ok & (scafs == scafm)
+        lo_ = np.minimum(loc, locm)
+        hi_ = np.maximum(loc + span_s, locm + span_m)
+        mag = hi_ - lo_
+        tlen = np.where(both,
+                        np.where(loc < locm, mag,
+                                 np.where(loc > locm, -mag,
+                                          mag if first else -mag)),
+                        0)
+        # proper pair: both mapped, same scaffold, FR orientation
+        fr = both & (p.strand != q.strand) & \
+            (np.where(p.strand == 0, loc <= locm, locm <= loc))
+        flag |= np.where(fr, 0x2, 0)
+        return dict(tid=tid.astype(np.int32), pos=pos.astype(np.int32),
+                    flag=flag, mapq=np.where(self_ok, p.mapq, 0),
+                    mtid=mtid.astype(np.int32),
+                    mpos=mpos.astype(np.int32),
+                    tlen=tlen.astype(np.int32),
+                    lclip=np.asarray(p.lclip, np.int32),
+                    rclip=np.asarray(p.rclip, np.int32),
+                    nmatch=np.asarray(p.nmatch, np.int32),
+                    read_len=np.asarray(rs.length, np.int32))
+
+    cl = side_cols(pl, pr, True, left, right)
+    cr = side_cols(pr, pl, False, right, left)
+    cols = {k: np.concatenate([cl[k], cr[k]]) for k in cl}
+    return bam_io.Alignments(
+        refs=list(genome.names), names=None,
+        name_hash=np.concatenate([left.name_hash, right.name_hash]),
+        **cols)

@@ -330,11 +330,26 @@ def run_collect(cfg: Config, ws: Workspace,
     all_cols = {"gap": [], "side": [], "row": [], "hq": [], "lib": []}
     bu_cols = {"lib": [], "side": [], "row": []}
     readsets = []
+    map_index = None
     for li, lib in enumerate(cfg.libraries):
-        aln = read_bam_any(lib.bam)
         left = read_fastq_any(lib.left_fq) if lib.left_fq else None
         right = read_fastq_any(lib.right_fq) if lib.right_fq else None
         readsets.append((left, right))
+        if lib.bam:
+            aln = read_bam_any(lib.bam)
+        else:
+            # self-mapping mode: no external BAM — place the reads on
+            # the draft with the built-in minimizer mapper
+            from ..ops import minimap
+            if left is None or right is None:
+                raise ValueError(
+                    f"library {li}: self-mapping (bam=None) needs both "
+                    "left/right FASTQs")
+            if genome is None:
+                genome = fasta.read_fasta(cfg.draft_genome)
+            if map_index is None:
+                map_index = minimap.build_index(genome)
+            aln = minimap.map_library(genome, map_index, left, right)
         rec = collect_library(cfg, lib, gaps, scaffold_names, aln,
                               left, right, mesh=mesh)
         for k in ("gap", "side", "row", "hq"):
