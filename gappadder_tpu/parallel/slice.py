@@ -228,7 +228,7 @@ def home_of(gap: np.ndarray, n_shards: int):
 
 def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
                  read_len: int = 48, step: int = 4, flank_len: int = 96,
-                 route_impl: str = "dense"):
+                 gap_len: int = 64, route_impl: str = "dense"):
     """Tiny planted scenario: G gaps on one scaffold, clipped reads
     tiling each gap region so the DBG closes it; returns (dims, args,
     in_shardings meta) ready for make_slice_step."""
@@ -237,7 +237,7 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
 
     G = n_shards * gaps_per_shard
     rng = np.random.default_rng(seed)
-    span, gap_off, gap_len = 400, 200, 64
+    span, gap_off = 2 * gap_len + 272, gap_len + 136
     L = G * span + 2 * flank_len
     truth = rng.integers(0, 4, L).astype(np.int8)
     gs = np.array([flank_len + g * span + gap_off for g in range(G)],

@@ -27,7 +27,9 @@ FLANK_CLIP_CUTOFF = 10  # gnrt_gap_seqs uses 10 for flank placement
 def _best_placement(query: np.ndarray, genome: fasta.Genome):
     """Best local alignment of query against every scaffold (both
     strands). Returns (scaf, strand, tstart, tend, qstart, qend,
-    score) or None."""
+    score) or None. O(|genome| x |query|): only used as the fallback
+    for queries the seeded path cannot anchor (and for tiny genomes);
+    the production path is seeded_placements below."""
     best = None
     for si in range(genome.num_scaffolds):
         t = genome.scaffold(si)
@@ -51,8 +53,81 @@ def _best_placement(query: np.ndarray, genome: fasta.Genome):
     return best
 
 
+# full-DP fallback is affordable below this finished-genome size
+_FALLBACK_GENOME_LIMIT = 1 << 20
+_SEED_PAD = 64
+
+
+def seeded_placements(queries, genome: fasta.Genome, index=None):
+    """Scalable batched placement: minimizer seeding locates each
+    query's window (ops/minimap.py), then one batched local DP over the
+    padded windows — O(|query| x window) instead of the full-genome DP
+    the reference effectively runs (statistic_rslt.py:8-25 shells one
+    `bwa mem` per gap; _best_placement above is the literal-DP analog).
+
+    queries: list of code arrays. Returns list of placement tuples
+    (scaf, strand, tstart, tend, qstart, qend, score) or None, same
+    semantics as _best_placement.
+    """
+    from ..ops import minimap
+
+    if index is None:
+        index = minimap.build_index(genome)
+    n = len(queries)
+    out = [None] * n
+    if n == 0:
+        return out
+    Lmax = max(max(len(q) for q in queries), 8)
+    qa = np.full((n, Lmax), dna.N, np.int8)
+    ql = np.zeros(n, np.int32)
+    for i, q in enumerate(queries):
+        qa[i, :len(q)] = q
+        ql[i] = len(q)
+    pl = minimap.map_reads(genome, index, qa, ql, min_score=20)
+
+    idx_hit = [i for i in range(n) if pl.gstart[i] >= 0]
+    if idx_hit:
+        W = Lmax + 2 * _SEED_PAD
+        tw = np.full((len(idx_hit), W), dna.N, np.int8)
+        tl = np.zeros(len(idx_hit), np.int32)
+        meta = []
+        for j, i in enumerate(idx_hit):
+            si = int(genome.scaffold_index(np.asarray([pl.gstart[i]]))[0])
+            t = genome.scaffold(si)
+            loc = int(pl.gstart[i] - genome.offsets[si])
+            ws = max(0, loc - int(pl.lclip[i]) - _SEED_PAD)
+            we = min(len(t), ws + W)
+            tw[j, :we - ws] = t[ws:we]
+            tl[j] = we - ws
+            meta.append((i, si, ws))
+        qb = np.full((len(idx_hit), Lmax), dna.N, np.int8)
+        for j, i in enumerate(idx_hit):
+            q = queries[i]
+            qb[j, :len(q)] = (dna.revcomp(np.asarray(q))
+                              if pl.strand[i] else np.asarray(q))
+        s, qe, te = sw_xla.sw_batch(
+            jnp.asarray(qb), jnp.asarray(ql[idx_hit]),
+            jnp.asarray(tw), jnp.asarray(np.maximum(tl, 1)),
+            BWA_PARAMS, "local")
+        for j, (i, si, ws) in enumerate(meta):
+            q = qb[j, :int(ql[i])]
+            t = tw[j, :int(tl[j])]
+            qs, ts, _ = alignment_stats(q, t, BWA_PARAMS, "local",
+                                        int(qe[j]), int(te[j]))
+            out[i] = (si, int(pl.strand[i]), ws + ts, ws + int(te[j]),
+                      qs, int(qe[j]), int(s[j]))
+
+    # unseeded queries: exact fallback only when the genome is small
+    if len(genome.seq) <= _FALLBACK_GENOME_LIMIT:
+        for i in range(n):
+            if out[i] is None:
+                out[i] = _best_placement(np.asarray(queries[i]), genome)
+    return out
+
+
 def extract_true_gap_seqs(gaps, genome_finished: fasta.Genome,
-                          flank_left, flank_right, flank_lens):
+                          flank_left, flank_right, flank_lens,
+                          index=None):
     """True gap sequences from a finished genome.
 
     For each gap, place both flanks; when they land on the same
@@ -61,14 +136,21 @@ def extract_true_gap_seqs(gaps, genome_finished: fasta.Genome,
     clipped-placement filter). Returns {gap_idx: codes}.
     """
     ll, rl = flank_lens
-    out = {}
-    for g in range(len(gaps["start"])):
+    G = len(gaps["start"])
+    live, queries = [], []
+    for g in range(G):
         lseq = np.asarray(flank_left[g][:int(ll[g])])
         rseq = np.asarray(flank_right[g][:int(rl[g])])
         if len(lseq) < 20 or len(rseq) < 20:
             continue
-        pl_ = _best_placement(lseq, genome_finished)
-        pr_ = _best_placement(rseq, genome_finished)
+        live.append(g)
+        queries.append(lseq)
+        queries.append(rseq)
+    places = seeded_placements(queries, genome_finished, index=index)
+    out = {}
+    for j, g in enumerate(live):
+        lseq, rseq = queries[2 * j], queries[2 * j + 1]
+        pl_, pr_ = places[2 * j], places[2 * j + 1]
         if pl_ is None or pr_ is None:
             continue
         (si1, st1, ts1, te1, qs1, qe1, sc1) = pl_

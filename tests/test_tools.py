@@ -169,3 +169,43 @@ def test_linkage_orientation_cases_and_cov_filter(rng):
                                        insert_size=200, sd=10,
                                        read_length=100, cov_cutoff=0.5)
     assert rows2 == []
+
+
+def test_seeded_placement_scales_to_large_genome(rng):
+    """Evaluate's placement path must work at real-draft scale: a 10 Mb
+    finished genome, 100 flank queries incl. reverse-strand and small
+    indels — seeded (minimizer + windowed DP) placement in seconds,
+    instead of the O(|genome| x |query|) full scan."""
+    import time
+    from gappadder_tpu import dna
+
+    L = 10_000_000
+    seq = rng.integers(0, 4, L).astype(np.int8)
+    finished = fasta.Genome(seq=seq, offsets=np.array([0]),
+                            lengths=np.array([L]), names=["fin0"])
+    t0 = time.time()
+    queries, want = [], []
+    for i in range(100):
+        st = int(rng.integers(0, L - 400))
+        q = seq[st:st + 295].copy()
+        kind = i % 4
+        if kind == 1:
+            q = dna.revcomp(q)
+        elif kind == 2:                      # 2bp deletion in the middle
+            q = np.concatenate([q[:150], q[152:]])
+        elif kind == 3:                      # 3bp insertion
+            q = np.concatenate([q[:150], rng.integers(0, 4, 3).astype(np.int8),
+                                q[150:]])
+        queries.append(q)
+        want.append((st, 1 if kind == 1 else 0))
+    places = evaluate.seeded_placements(queries, finished)
+    elapsed = time.time() - t0
+    n_ok = 0
+    for (st, strand), p in zip(want, places):
+        if p is None:
+            continue
+        si, pstrand, ts, te, qs, qe, score = p
+        if pstrand == strand and abs(ts - st) <= 8 and score >= 250:
+            n_ok += 1
+    assert n_ok >= 97, n_ok
+    assert elapsed < 120, elapsed
