@@ -1,46 +1,47 @@
-"""Benchmark: batched Smith-Waterman throughput on the real chip.
+"""Benchmark: end-to-end fused pipeline throughput + SW kernel, on the
+real chip, with a live CPU baseline.
 
-The SW overlap/local DP is the reference pipeline's #1 hot loop
-(SURVEY.md §3 "Hot loops"): every contig-pair merge, flank pick and
-read-rescue verification runs through it. This measures the device
-kernel at flank-pick shapes and reports reads-aligned/s (one "read
-alignment" = one 128x1024 local DP), with the live single-host numpy
-wavefront DP (the same algorithm the CPU reference would run) as the
-baseline.
+Headline metric: gaps/s of the FUSED pipeline slice — the production
+collect->assemble->pick dataplane (classify, gap-home routing, dedup,
+k-mer counting, DBG unitig assembly, flank SW) in one jit
+(gappadder_tpu/parallel/slice.py). This is the end-to-end device
+computation the framework runs per step; the reference's counterpart
+is the per-gap process soup of /root/reference/assemble_gaps.py:296-318.
+vs_baseline = TPU / CPU-backend ratio of the SAME computation
+(live-measured in a CPU subprocess).
+
+Also reported inside the same JSON object: records-classified/s, the
+SW kernel microbenchmark (reads-aligned/s + GCUPS at flank-pick
+shapes, vs the live numpy wavefront DP), and a CPU weak-scaling row.
 
 Timing methodology (IMPORTANT, see docs/kernel-notes.md): on the
 axon-tunneled TPU, jax.block_until_ready can return before the device
-finishes, so naive timing over-reports by >10x. The only trustworthy
-measure is slope timing: run K dependency-chained kernels inside ONE
-jit, force a host readback of the chained result, and take
-(time(K=65) - time(K=1)) / 64 — the tunnel round-trip cancels out and
-the data dependency prevents any elision/overlap.
+finishes, so naive timing over-reports by >10x. Every device number
+here is slope-timed: K dependency-chained steps inside ONE jit, a
+forced host readback, best-of-N, (time(K_hi) - time(K_lo)) / (K_hi -
+K_lo) — the tunnel round-trip cancels and the data dependency
+prevents elision/overlap.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, ".")
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "scripts"))
 
 import numpy as np
 
 
-def main():
-    import os
+def sw_kernel_numbers():
+    """Slope-timed SW kernel at flank-pick shapes + numpy baseline."""
     import jax
-    # persistent compilation cache: remote TPU compiles via the tunnel
-    # can take minutes; warm runs then load from disk
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
     from gappadder_tpu.ops import sw_host, sw_pallas, sw_xla
     from gappadder_tpu.ops.sw_host import SWParams
@@ -61,7 +62,8 @@ def main():
         kern = lambda q, t: sw_pallas.sw_batch_pallas(
             q, qld, t, tld, params, "local")
     else:
-        kern = lambda q, t: sw_xla.sw_batch(q, qld, t, tld, params, "local")
+        kern = lambda q, t: sw_xla.sw_batch(q, qld, t, tld, params,
+                                            "local")
 
     def make_chain(K):
         @jax.jit
@@ -86,23 +88,82 @@ def main():
         times[K] = best
     dt = (times[65] - times[1]) / 64
 
-    cells = B * Lq * Lt
-    reads_per_s = B / dt
-    gcups = cells / dt / 1e9
-
     # live CPU baseline: same wavefront DP in numpy, one pair, scaled
     nb = 4
     t0 = time.time()
     for i in range(nb):
         sw_host.dp_matrices(q[i], t[i], params, "local")
     base_dt_per_pair = (time.time() - t0) / nb
-    base_reads_per_s = 1.0 / base_dt_per_pair
+
+    return {
+        "sw_reads_aligned_per_s": round(B / dt, 1),
+        "sw_gcups": round(B * Lq * Lt / dt / 1e9, 1),
+        "sw_impl": "pallas-tpu" if on_tpu else f"xla-{jax.default_backend()}",
+        "sw_vs_numpy_host": round((B / dt) * base_dt_per_pair, 1),
+    }
+
+
+def cpu_subprocess_rows(shards):
+    """Run scripts/slice_bench.py --cpu in a subprocess (the in-process
+    backend is already bound to the TPU)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "scripts", "slice_bench.py"),
+         "--cpu", "--shards=" + ",".join(map(str, shards))],
+        capture_output=True, text=True, timeout=1500, env=env)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(_ROOT, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from slice_bench import measure
+
+    extras = {}
+    # 1) fused-slice e2e on the default backend (TPU under the driver)
+    dev = measure(1, gaps_per_shard=16)
+    extras["e2e_backend"] = dev["backend"]
+    extras["e2e_records_per_s"] = round(dev["records_per_s"], 1)
+    extras["e2e_route_impl"] = dev["route_impl"]
+
+    # 2) live CPU baseline of the same computation + weak-scaling row
+    try:
+        rows = cpu_subprocess_rows([1, 8])
+        cpu1 = rows[0]["gaps_per_s"]
+        extras["cpu_gaps_per_s"] = round(cpu1, 2)
+        extras["cpu_scaling_1_to_8"] = {
+            "gaps_per_s": [round(r["gaps_per_s"], 2) for r in rows],
+            "shards": [r["n_shards"] for r in rows],
+        }
+        vs = dev["gaps_per_s"] / cpu1
+    except Exception as e:  # CPU baseline must never sink the bench
+        extras["cpu_error"] = str(e)[:200]
+        vs = 0.0
+
+    # 3) SW kernel microbenchmark
+    try:
+        extras.update(sw_kernel_numbers())
+    except Exception as e:
+        extras["sw_error"] = str(e)[:200]
 
     print(json.dumps({
-        "metric": "sw_reads_aligned_per_s",
-        "value": round(reads_per_s, 1),
-        "unit": f"128x1024 local DP/s ({'pallas-tpu' if on_tpu else 'xla-' + jax.default_backend()}, {gcups:.1f} GCUPS, slope-timed)",
-        "vs_baseline": round(reads_per_s / base_reads_per_s, 1),
+        "metric": "e2e_gaps_per_s",
+        "value": round(dev["gaps_per_s"], 1),
+        "unit": (f"gaps/s, fused collect+assemble+pick slice "
+                 f"({dev['n_gaps_per_step']} gaps x "
+                 f"{dev['n_records_per_step']} records/step, "
+                 f"slope-timed, vs live CPU-backend run)"),
+        "vs_baseline": round(vs, 2),
+        **extras,
     }))
 
 

@@ -46,8 +46,10 @@ persists across the sequential chunk grid dimension.
 All boundary/initial values are derived from qlen/tlen data (never
 splat constants): Mosaic's layout inference otherwise assigns
 replicated layouts to loop carries and fails with "Invalid relayout".
-('extend' mode still trips that bug in the final select; it is not on
-a hot path and is routed to the XLA implementation on TPU.)
+All four modes — local / overlap / fit / extend — run in the kernel
+and are verified bit-identical to sw_xla on v5e hardware (fit's
+d-dependent leading-gap column and its H[qlen, 0] fallback, extend's
+pinned (0,0) origin, are boundary-function variants of the same DP).
 """
 
 from __future__ import annotations
@@ -88,15 +90,23 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     negS = zS + NEG
     rowm0 = row == 0
     zrow = qlen * 0                               # [1, TB] varying zero
-    col0 = zrow if mode in ("local", "overlap") else zrow + NEG
 
     free_ends = mode in ("local", "overlap")
     clamp = mode == "local"
 
-    def row0(d):
+    def col0(d):
+        # H[i=d, j=0]
         if free_ends:
+            return zrow
+        if mode == "fit":       # leading query gap: -(go + (d-1)*ge)
+            return zrow - go - (d - 1) * ge
+        return zrow + NEG       # extend
+
+    def row0(d):
+        # H[i=0, j=d]
+        if free_ends or mode == "fit":
             return jnp.where(d <= tlen, 0, NEG)
-        return zrow + NEG
+        return jnp.where(d == 0, zrow, zrow + NEG)  # extend
 
     def shift(x):
         r = pltpu.roll(x, 1, 0)
@@ -132,6 +142,8 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
             if mode == "overlap":
                 endmask = (row >= qcut) | (row <= d - tlen + end_slack)
                 cand = jnp.where(endmask, H, negS)
+            elif mode == "fit":
+                cand = jnp.where(row == qlen, H, negS)
             else:
                 cand = H
         upd = cand > bestH
@@ -142,7 +154,7 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
         # column only exists for d <= S, i.e. within chunk 0
         H = jnp.where(rowm0, row0(d), H)
         if first_chunk:
-            H = jnp.where(row == d, col0, H)
+            H = jnp.where(row == d, col0(d), H)
         return H, shift(H), E, shift(F), bestH, bestD
 
     def run_loop(first_chunk):
@@ -180,7 +192,7 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
     def _():
         hm2 = jnp.where(rowm0, 0, negS)                    # diag d=0
         hm1 = jnp.where(rowm0, row0(jnp.ones_like(tlen)), negS)
-        hm1 = jnp.where((row == 1) & (qlen >= 1), col0, hm1)
+        hm1 = jnp.where((row == 1) & (qlen >= 1), col0(1), hm1)
         hm1_s[:] = hm1
         hshm1_s[:] = shift(hm1)
         hshm2_s[:] = shift(hm2)
@@ -208,13 +220,21 @@ def _kernel(qlen_ref, tlen_ref, qreg_ref, rbuf_ref,
         isel = jnp.where(elig & (bestD == dmin), row, zS + BIG)
         imin = jnp.min(isel, axis=0, keepdims=True)
 
-        empty = m < 0
-        # negative best: oracle falls back to H[qlen, 0] = 0 for
-        # overlap (free leading gap) and the (0, 0) origin otherwise
-        fb_q = qlen if mode == "overlap" else zrow
-        score_ref[:] = jnp.where(empty, 0, m)
-        qend_ref[:] = jnp.where(empty, fb_q, imin)
-        tend_ref[:] = jnp.where(empty, 0, dmin - imin)
+        if mode == "fit":
+            # oracle also considers the all-gap cell H[qlen, 0]
+            fb = zrow - (go + (qlen - 1) * ge)
+            empty = m < fb
+            score_ref[:] = jnp.where(empty, fb, m)
+            qend_ref[:] = jnp.where(empty, qlen, imin)
+            tend_ref[:] = jnp.where(empty, 0, dmin - imin)
+        else:
+            empty = m < 0
+            # negative best: oracle falls back to H[qlen, 0] = 0 for
+            # overlap (free leading gap) and the (0, 0) origin otherwise
+            fb_q = qlen if mode == "overlap" else zrow
+            score_ref[:] = jnp.where(empty, 0, m)
+            qend_ref[:] = jnp.where(empty, fb_q, imin)
+            tend_ref[:] = jnp.where(empty, 0, dmin - imin)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "mode", "batch_tile",
@@ -229,13 +249,6 @@ def sw_batch_pallas(q, qlen, t, tlen, params: SWParams = SWParams(),
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if (mode == "extend" and not interpret) or mode == "fit":
-        # extend: Mosaic relayout bug (see module docstring);
-        # fit: implemented in the XLA path only (pick-stage volume is
-        # small — one pair per flank x contig x strand)
-        from . import sw_xla
-        return sw_xla.sw_batch(q, qlen, t, tlen, params, mode,
-                               end_slack=end_slack)
 
     B, Lq = q.shape
     Lt = t.shape[1]

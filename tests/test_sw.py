@@ -126,3 +126,25 @@ def test_traceback_cigar():
     tc = sum(n for op, n in cigar if op in "MD")
     assert qc == qend - qs and tc == tend - ts_
     assert score == 6 - 2 or score > 0
+
+
+@pytest.mark.parametrize("mode", ["local", "overlap", "fit", "extend"])
+def test_sw_pallas_kernel_matches_xla(rng, mode):
+    """The Pallas TPU kernel (interpret mode here; verified on v5e
+    hardware by scripts/swprobe.py) is bit-identical to sw_xla in ALL
+    FOUR modes — incl. fit's d-dependent leading-gap column and
+    extend's pinned origin, which used to route to XLA."""
+    from gappadder_tpu.ops import sw_pallas
+    B, Lq, Lt = 32, 24, 48
+    params = SWParams(1, -4, 7, 1)
+    qpad, qlen, tpad, tlen, qs, ts = _rand_pairs(rng, B, Lq, Lt)
+    slack = 2 if mode == "overlap" else 0
+    a = sw_pallas.sw_batch_pallas(
+        jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(tpad),
+        jnp.asarray(tlen), params, mode, interpret=True, end_slack=slack)
+    b = sw_xla.sw_batch(
+        jnp.asarray(qpad), jnp.asarray(qlen), jnp.asarray(tpad),
+        jnp.asarray(tlen), params, mode, end_slack=slack)
+    for x, y, nm in zip(a, b, ("score", "qend", "tend")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"{mode}:{nm}")
