@@ -397,11 +397,16 @@ def _write_gap_fastqs(cfg, ws, gaps, rec, readsets, subdir="merged/gap_reads",
     os.makedirs(folder, exist_ok=True)
     ids = gap_ids(gaps)
     sel = rec["hq"] if hq_only else np.ones(len(rec["gap"]), bool)
-    gsel = rec["gap"][sel]
+    # records are lexsorted by (gap, lib, side, row): one searchsorted
+    # pair per gap instead of a full boolean mask per gap (O(G log N))
+    gap_all = rec["gap"]
     use_native = native.available()
-    for g in np.unique(gsel):
+    for g in np.unique(gap_all[sel]):
         fpath = os.path.join(folder, f"{ids[g]}.fastq")
-        m = sel & (rec["gap"] == g)
+        lo = np.searchsorted(gap_all, g, side="left")
+        hi = np.searchsorted(gap_all, g, side="right")
+        m = slice(lo, hi) if not hq_only else np.flatnonzero(
+            sel[lo:hi]) + lo
         libs, sides, rows = rec["lib"][m], rec["side"][m], rec["row"][m]
         if use_native:
             # records are lexsorted by (gap, lib, side, row): one

@@ -31,6 +31,7 @@ from ..ops.sw_host import BWA_PARAMS
 SEED_K = 19
 MIN_VOTES = 2
 MIN_SCORE = 30          # bwa mem default -T
+CLIP_MIN = 5            # soft-clip length that counts as "clipped"
 
 
 def _gather_reads(entries, readsets):
@@ -90,12 +91,23 @@ def _verify_hits(read_seq, read_lens, pairs, contig_arr, contig_lens,
             tl[i] = clen
     from ..ops.swutil import sw_pairs
     score, qe, te = sw_pairs(q, ql, t, tl, BWA_PARAMS, "local")
+    # qstart without traceback: align the REVERSED pair — its query end
+    # is ql - qstart of an optimal alignment (same score by symmetry)
+    qr = np.full_like(q, dna.N)
+    tr = np.full_like(t, dna.N)
+    for i in range(B):
+        qr[i, :ql[i]] = q[i, :ql[i]][::-1]
+        tr[i, :tl[i]] = t[i, :tl[i]][::-1]
+    _, qe_rev, _ = sw_pairs(qr, ql, tr, tl, BWA_PARAMS, "local")
     out = []
     for i, p in enumerate(pairs):
         r, s, c = p[0], p[1], p[2]
         if score[i] >= min_score:
-            # clipped if the local alignment does not reach both ends
-            clipped = int(qe[i]) < int(ql[i]) or score[i] < ql[i]
+            # CIGAR-style clip typing (Alignment.cpp clip semantics):
+            # soft clip = query bases outside the local alignment span
+            lclip = int(ql[i]) - int(qe_rev[i])
+            rclip = int(ql[i]) - int(qe[i])
+            clipped = lclip >= CLIP_MIN or rclip >= CLIP_MIN
             out.append((r, s, c, int(score[i]), clipped))
     return out
 

@@ -1,11 +1,30 @@
 """Scaffolding from contig connection tables — TERefiner -S (C6).
 
-Reference (/root/reference/TERefiner/scaffolding.cpp:103-340): given
-contigs and a PE-link table (the -L output), (1) pairs whose estimated
-distance is negative are checked for a real suffix/prefix overlap
-(> 7 bp local alignment) and merged by trimming; (2) remaining links
-with support >= the per-node average link count chain contigs into
-scaffolds, joined by N-runs of the estimated distance.
+Reference (/root/reference/TERefiner/scaffolding.cpp:25-340), two
+passes over the -L connection table (rows: id1 name1 len1 dir1 id2
+name2 len2 dir2 n_pairs min_dist max_dist mean_dist):
+
+1. mergeContigs (:34-133): rows with mean_dist > 0 pass through
+   unchanged. For the rest, take the ORIENTED sequences (dir '+' =
+   forward, '-' = reverse complement), window the last/first
+   min_gap = min(-min_dist, shorter contig length) bases, and local-
+   align the windows; the pair is a real overlap merge when the local
+   hit spans > 7 bp, ends exactly at the left window's end and starts
+   exactly at the right window's start. Negative-distance rows WITHOUT
+   such an anchored overlap are DISCARDED (written to _discarded.txt
+   in the reference; dropped here).
+
+2. constructConnectedContigs (:174-340): group rows by the LEFT
+   (name, dir) node; ave_pe = integer mean of that node's mate
+   supports; every mate with support >= ave_pe emits ONE PAIRWISE
+   record (the reference explicitly "only output[s] the two-connected
+   situations"): header "lname$ori1$rname$ori2$dist" (dist = -overlap
+   for merged rows, else int(mean_dist)), sequence = oriented left +
+   N-run of int(mean_dist) + oriented right, or the overlap-trimmed
+   concatenation.
+
+``chain=True`` additionally links qualifying pairs into multi-contig
+scaffold chains — an extension beyond the reference's pairwise output.
 """
 
 from __future__ import annotations
@@ -17,93 +36,142 @@ from .. import dna
 from ..ops import sw_xla
 from ..ops.sw_host import SWParams, traceback
 
-MIN_OVERLAP = 7  # scaffolding.cpp:103-121
+MIN_OVERLAP = 7  # scaffolding.cpp:13 (const int OVERLAP=7)
+
+# stdaln-ish scoring for the window overlap check
+_P = SWParams(1, -3, 5, 2)
 
 
-def _suffix_prefix_overlap(a: np.ndarray, b: np.ndarray, window: int = 200):
-    """Best suffix(a)/prefix(b) overlap length, 0 if < MIN_OVERLAP."""
-    wa = a[-window:]
-    wb = b[:window]
-    p = SWParams(1, -3, 5, 2)
-    L = max(len(wa), len(wb), 8)
+def _local_span(a: np.ndarray, b: np.ndarray):
+    """Best local alignment of a vs b -> 1-based (as, ae, bs, be) or
+    None (the optAlign call of scaffolding.cpp:103-121)."""
+    if len(a) == 0 or len(b) == 0:
+        return None
+    L = max(len(a), len(b), 8)
     q = np.full((1, L), dna.N, np.int8)
     t = np.full((1, L), dna.N, np.int8)
-    q[0, :len(wa)] = wa
-    t[0, :len(wb)] = wb
+    q[0, :len(a)] = a
+    t[0, :len(b)] = b
     s, qe, te = sw_xla.sw_batch(
-        jnp.asarray(q), jnp.asarray([len(wa)], jnp.int32),
-        jnp.asarray(t), jnp.asarray([len(wb)], jnp.int32), p, "overlap")
-    score, qe, te = int(s[0]), int(qe[0]), int(te[0])
-    if score <= MIN_OVERLAP:
-        return 0, 0
-    # overlap must sit at a-suffix / b-prefix
-    qs, ts, _ = traceback(wa, wb, p, "overlap", qe, te)
-    if qe < len(wa) - 2 or ts > 2:
-        return 0, 0
-    return len(wa) - qs, te  # consumed suffix of a, consumed prefix of b
+        jnp.asarray(q), jnp.asarray([len(a)], jnp.int32),
+        jnp.asarray(t), jnp.asarray([len(b)], jnp.int32), _P, "local")
+    if int(s[0]) <= 0:
+        return None
+    qs, ts, _ = traceback(a, b, _P, "local", int(qe[0]), int(te[0]))
+    return qs + 1, int(qe[0]), ts + 1, int(te[0])
+
+
+def _oriented(contigs, name_idx, name, ori):
+    seq = contigs[name_idx[name]]
+    return seq if ori == "+" else dna.revcomp(seq)
+
+
+def merge_connections(contigs, names, links):
+    """Pass 1: annotate rows with (bmerged, overlap); drop discards.
+
+    Returns rows (id1, n1, l1, d1, id2, n2, l2, d2, n_pairs, dmin,
+    dmax, dmean, bmerged, overlap).
+    """
+    name_idx = {n: i for i, n in enumerate(names)}
+    out = []
+    for (a, n1, l1, d1, b, n2, l2, d2, np_, dmin, dmax, dmean) in links:
+        if dmean > 0:
+            out.append((a, n1, l1, d1, b, n2, l2, d2, np_, dmin, dmax,
+                        dmean, False, 0))
+            continue
+        lc = _oriented(contigs, name_idx, n1, d1)
+        rc = _oriented(contigs, name_idx, n2, d2)
+        min_gap = int(-1 * dmin)
+        min_gap = min(min_gap, min(l1, l2))
+        if min_gap <= 0:
+            continue
+        lsub = lc[l1 - min_gap:]
+        rsub = rc[:min_gap]
+        span = _local_span(lsub, rsub)
+        if span is None:
+            continue
+        ls, le, rs, re = span
+        overlap = le - ls + 1
+        if overlap > MIN_OVERLAP and le == len(lsub) and rs == 1:
+            out.append((a, n1, l1, d1, b, n2, l2, d2, np_, dmin, dmax,
+                        dmean, True, overlap))
+        # else: discarded (negative distance, no anchored overlap)
+    return out
 
 
 def build_scaffolds(contigs: list[np.ndarray], names: list[str],
-                    links):
-    """links: rows (id1, n1, l1, dir1, id2, n2, l2, dir2, n_pairs,
-    dmin, dmax, dmean) from cnt_contig_linkage (the reference -S
-    connection-table schema, ScaffoldUtils.cpp:15-63). Returns
-    (records, used) where records is a list of (name, codes)."""
-    n = len(contigs)
-    support = np.zeros(n, np.int64)
-    deg = np.zeros(n, np.int64)
-    for (a, _, _, _d1, b, _, _, _d2, np_, _, _, _) in links:
-        support[a] += np_
-        support[b] += np_
-        deg[a] += 1
-        deg[b] += 1
-    avg = support / np.maximum(deg, 1)
+                    links, chain: bool = False):
+    """links: raw -L rows from cnt_contig_linkage. Returns (records,
+    used) — records are (name, codes) pairwise joins per the
+    reference; used is the set of contig indices in any record."""
+    name_idx = {n: i for i, n in enumerate(names)}
+    rows = merge_connections(contigs, names, links)
 
-    # keep strong links, sorted by support descending
-    strong = [r for r in links
-              if r[8] >= min(avg[r[0]], avg[r[4]])]
-    strong.sort(key=lambda r: -r[8])
+    # group by LEFT (name, dir) node
+    groups: dict[tuple[str, str], list] = {}
+    for r in rows:
+        groups.setdefault((r[1], r[3]), []).append(r)
 
-    nxt = {}
-    prev = {}
-    joins = {}
-    for (a, _, _, _d1, b, _, _, _d2, np_, dmin, dmax, dmean) in strong:
-        if a in nxt or b in prev:
-            continue  # each node joins at most one chain on each side
-        nxt[a] = b
-        prev[b] = a
-        joins[(a, b)] = dmean
-
-    heads = [v for v in range(n) if v in nxt and v not in prev]
-    used = set()
     records = []
+    used = set()
+    joins = []          # qualifying (lname, d1, rname, d2, dist, ov)
+    for (lname, d1), mates in groups.items():
+        ave_pe = sum(m[8] for m in mates) // len(mates)  # int div, ref
+        for m in mates:
+            if m[8] < ave_pe:
+                continue
+            (_, n1, l1, _, _, n2, l2, d2, np_, dmin, dmax, dmean,
+             bmerged, overlap) = m
+            lseq = _oriented(contigs, name_idx, n1, d1)
+            rseq = _oriented(contigs, name_idx, n2, d2)
+            if overlap == 0:
+                dist = int(dmean)
+                seq = np.concatenate(
+                    [lseq, np.full(max(dist, 0), dna.N, np.int8), rseq])
+            else:
+                dist = -overlap
+                seq = np.concatenate([lseq, rseq[overlap:]])
+            records.append((f"{n1}${d1}${n2}${d2}${dist}", seq))
+            used.add(name_idx[n1])
+            used.add(name_idx[n2])
+            joins.append((n1, d1, n2, d2, dist, overlap))
+
+    if chain and joins:
+        records += _chain_records(contigs, name_idx, joins)
+    return records, used
+
+
+def _chain_records(contigs, name_idx, joins):
+    """Extension: link pairwise joins into maximal chains (each contig
+    used once per side, first-come order)."""
+    nxt, prev, meta = {}, {}, {}
+    for (n1, d1, n2, d2, dist, ov) in joins:
+        if (n1, d1) in nxt or (n2, d2) in prev:
+            continue
+        nxt[(n1, d1)] = (n2, d2)
+        prev[(n2, d2)] = (n1, d1)
+        meta[((n1, d1), (n2, d2))] = (dist, ov)
+    heads = [k for k in nxt if k not in prev]
+    out = []
     cnt = 0
     for h in heads:
-        if h in used:
-            continue
-        chain = [h]
-        used.add(h)
-        while chain[-1] in nxt and nxt[chain[-1]] not in used:
-            chain.append(nxt[chain[-1]])
-            used.add(chain[-1])
-        if len(chain) < 2:
-            continue
-        seq = contigs[chain[0]]
-        for a, b in zip(chain, chain[1:]):
-            d = joins[(a, b)]
-            if d < 0:
-                ov_a, ov_b = _suffix_prefix_overlap(seq, contigs[b])
-                if ov_a >= MIN_OVERLAP:
-                    seq = np.concatenate([seq[:len(seq) - ov_a],
-                                          contigs[b]])
-                    continue
-                d = 10  # fall back to a small N joint
-            gap = np.full(max(int(round(d)), 1), dna.N, np.int8)
-            seq = np.concatenate([seq, gap, contigs[b]])
-        records.append((f"scaffold_{cnt}_" +
-                        "_".join(names[c] for c in chain), seq))
+        path = [h]
+        seen = {h}
+        while path[-1] in nxt and nxt[path[-1]] not in seen:
+            path.append(nxt[path[-1]])
+            seen.add(path[-1])
+        if len(path) < 3:
+            continue            # pairwise already emitted
+        seq = _oriented(contigs, name_idx, *path[0])
+        for a, b in zip(path, path[1:]):
+            dist, ov = meta[(a, b)]
+            rseq = _oriented(contigs, name_idx, *b)
+            if ov:
+                seq = np.concatenate([seq, rseq[ov:]])
+            else:
+                seq = np.concatenate(
+                    [seq, np.full(max(dist, 0), dna.N, np.int8), rseq])
+        out.append((f"scaffold_chain_{cnt}_" +
+                    "_".join(n for n, _ in path), seq))
         cnt += 1
-    singles = [i for i in range(n) if i not in used]
-    for i in singles:
-        records.append((names[i], contigs[i]))
-    return records, used
+    return out

@@ -68,15 +68,18 @@ def test_linkage_and_scaffolding(rng):
         nmatch=[100] * 10, read_len=[100] * 10, lclip=[0] * 10,
         rclip=[0] * 10, mpos=[10] * 10, tlen=[0] * 10)
     links = refiner.cnt_contig_linkage(aln, [300, 290], ["A", "B"],
-                                       insert_size=150, sd=20)
+                                       insert_size=250, sd=20)
     assert len(links) == 1 and links[0][8] == 10
     # FR pair (fwd read, reverse mate): left '+' and right '+'
     assert links[0][3] == "+" and links[0][7] == "+"
     recs, used = scaffold.build_scaffolds([A, B], ["A", "B"], links)
     assert len(recs) == 1
     name, seq = recs[0]
-    assert name.startswith("scaffold_0")
+    # reference header format lname$ori1$rname$ori2$dist
+    # (scaffolding.cpp:281), N-joint of int(mean_dist)
+    assert name.startswith("A$+$B$+$")
     assert len(seq) >= len(A) + len(B)
+    assert used == {0, 1}
 
 
 def test_true_gap_extraction_and_closure(tmp_path, rng):
@@ -209,3 +212,54 @@ def test_seeded_placement_scales_to_large_genome(rng):
             n_ok += 1
     assert n_ok >= 97, n_ok
     assert elapsed < 120, elapsed
+
+
+def test_scaffold_overlap_merge_and_discard(rng):
+    """-S pass-1 parity (scaffolding.cpp:34-133): negative-distance
+    pairs with an anchored suffix/prefix overlap are trimmed-merged
+    (dist field = -overlap); without one the connection is DISCARDED;
+    the per-left-node ave_pe filter keeps only strong mates."""
+    from gappadder_tpu import dna as _dna
+    truth = rng.integers(0, 4, 520).astype(np.int8)
+    A = truth[:300].copy()
+    B = truth[280:].copy()                     # 20bp true overlap
+    C = rng.integers(0, 4, 200).astype(np.int8)  # unrelated
+
+    def row(i1, n1, l1, d1, i2, n2, l2, d2, np_, dmin, dmax, dmean):
+        return (i1, n1, l1, d1, i2, n2, l2, d2, np_, dmin, dmax, dmean)
+
+    # A->B negative distance WITH a real overlap: merged, trimmed
+    links = [row(0, "A", 300, "+", 1, "B", 240, "+", 9, -20.0, -20.0,
+                 -20.0)]
+    recs, used = scaffold.build_scaffolds([A, B, C], ["A", "B", "C"],
+                                          links)
+    assert len(recs) == 1
+    name, seq = recs[0]
+    assert name == "A$+$B$+$-20"
+    np.testing.assert_array_equal(seq, truth)   # exact trimmed join
+
+    # A->C negative distance WITHOUT overlap: discarded entirely
+    links2 = [row(0, "A", 300, "+", 2, "C", 200, "+", 9, -20.0, -20.0,
+                  -20.0)]
+    recs2, used2 = scaffold.build_scaffolds([A, B, C], ["A", "B", "C"],
+                                            links2)
+    assert recs2 == [] and used2 == set()
+
+    # ave_pe filter: A has two mates with supports 10 and 2;
+    # ave = (10+2)//2 = 6 -> only the support-10 mate is emitted
+    links3 = [row(0, "A", 300, "+", 1, "B", 240, "+", 10, 15.0, 15.0,
+                  15.0),
+              row(0, "A", 300, "+", 2, "C", 200, "+", 2, 15.0, 15.0,
+                  15.0)]
+    recs3, _ = scaffold.build_scaffolds([A, B, C], ["A", "B", "C"],
+                                        links3)
+    assert [r[0] for r in recs3] == ["A$+$B$+$15"]
+    # N-joint of int(mean_dist)
+    assert (recs3[0][1][300:315] == _dna.N).all()
+
+    # orientation: '-' takes the reverse complement of the right contig
+    links4 = [row(0, "A", 300, "+", 1, "B", 240, "-", 9, 5.0, 5.0, 5.0)]
+    recs4, _ = scaffold.build_scaffolds([A, B, C], ["A", "B", "C"],
+                                        links4)
+    np.testing.assert_array_equal(recs4[0][1][305:],
+                                  _dna.revcomp(B))
