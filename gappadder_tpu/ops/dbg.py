@@ -159,22 +159,52 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
     is_head = is_head & node_valid
 
     # ---- pointer doubling: find head + cycle break ----------------------
+    # TPU note: batched dynamic gathers are the cost center here (~1 ms
+    # per [G, N] gather at N≈6k on v5e — 7x a 2-operand sort). Each
+    # doubling step needs BOTH payload[p] and p[p], so pack (payload,
+    # pointer) into one int32 word (payload << shift | p) and gather
+    # ONCE per step — 2x fewer gathers. Requires N < 2^15 so the packed
+    # word stays below 2^31; falls back to two gathers otherwise.
     T = max(1, (2 * N - 1).bit_length())
+    shift = N.bit_length()
+    packed_ok = 2 * shift <= 30
+    idx32 = jnp.arange(N, dtype=jnp.int32)
+
     p = prev[:N]
-    mn = jnp.arange(N, dtype=jnp.int32)     # min id seen on prefix path
-    for _ in range(T):
-        mn = jnp.minimum(mn, mn[p])
-        p = p[p]
+    mn = idx32                              # min id seen on prefix path
+    if packed_ok:
+        w = (mn << shift) | p
+        for _ in range(T):
+            g = w[w & ((1 << shift) - 1)]
+            w = jnp.minimum(w & ~((1 << shift) - 1),
+                            g & ~((1 << shift) - 1)) | (g & ((1 << shift) - 1))
+        mn = w >> shift
+        p = w & ((1 << shift) - 1)
+    else:
+        for _ in range(T):
+            mn = jnp.minimum(mn, mn[p])
+            p = p[p]
     reached_head = is_head[p]
-    new_head = is_head | (node_valid & ~reached_head &
-                          (mn == jnp.arange(N)))
+    new_head = is_head | (node_valid & ~reached_head & (mn == idx32))
 
     # re-run doubling with heads as fixed points: parallel list ranking
-    p2 = jnp.where(new_head, jnp.arange(N), prev[:N])
+    # (same packing: rank accumulates by ADD, pointer in the low bits —
+    # but rank can reach N, so it needs shift+1 headroom; keep payload
+    # = off in the high bits and add only the high parts)
+    p2 = jnp.where(new_head, idx32, prev[:N])
     off = jnp.where(new_head, 0, 1).astype(jnp.int32)
-    for _ in range(T):
-        off = off + off[p2]
-        p2 = p2[p2]
+    if packed_ok:
+        w = (off << shift) | p2
+        for _ in range(T):
+            g = w[w & ((1 << shift) - 1)]
+            w = (((w >> shift) + (g >> shift)) << shift) | \
+                (g & ((1 << shift) - 1))
+        off = w >> shift
+        p2 = w & ((1 << shift) - 1)
+    else:
+        for _ in range(T):
+            off = off + off[p2]
+            p2 = p2[p2]
     rep = p2                                 # head node of each chain
 
     chain_nodes = jnp.zeros(N + 1, jnp.int32).at[
@@ -267,7 +297,9 @@ def _pop_bubbles_round(g, cov, edge_valid, node_valid, N: int,
 def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
                             sub_k: int, max_unitigs: int, max_len: int,
                             min_len: int, pop_bubbles: int = 0,
-                            max_bubble_len: int | None = None):
+                            max_bubble_len: int | None = None,
+                            node_cap: int | None = None,
+                            edge_cap: int | None = None):
     """Assemble one gap's distinct k-mer strings into unitigs.
 
     Args:
@@ -283,11 +315,21 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
         the Velvet tour-bus equivalent, see module docstring).
       max_bubble_len: max branch length in bases to consider a bubble
         (default 2*(sub_k+1), covering SNP/small-indel error bubbles).
+      node_cap / edge_cap: optional static working-set bounds. The
+        pointer-doubling gathers scale with the padded node count, and
+        the worst-case bound 2M*(k-sub_k+1) is ~6x the typical distinct
+        count (consecutive k-mers share sub_k-mers), so tighter caps
+        are a direct TPU speedup. When set, the actual distinct counts
+        are RETURNED so the caller can detect overflow and retry bigger
+        (results are garbage if exceeded — never silent: the counts say
+        so).
 
     Returns:
       seqs: int8 [max_unitigs, max_len] (N-padded),
       lens: int32 [max_unitigs],
-      count: int32 scalar.
+      count: int32 scalar;
+      when node_cap/edge_cap are set, also (n_nodes_raw, n_edges_raw)
+      int32 scalars for overflow detection.
     """
     M, kk = kstrings.shape
     assert kk == k and sub_k < k
@@ -302,12 +344,20 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
     node_keys, n_nodes = _unique_compact(
         nlimb.reshape(-1, nlimb.shape[-1])[None])             # [1, Pn, nl]
     node_keys, n_nodes = node_keys[0], n_nodes[0]
+    n_nodes_raw = n_nodes
+    if node_cap is not None and node_cap < node_keys.shape[0]:
+        node_keys = node_keys[:node_cap]
+        n_nodes = jnp.minimum(n_nodes, node_cap)
     N = node_keys.shape[0]
 
     elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
     edge_keys, n_edges = _unique_compact(
         elimb.reshape(-1, elimb.shape[-1])[None])
     edge_keys, n_edges = edge_keys[0], n_edges[0]
+    n_edges_raw = n_edges
+    if edge_cap is not None and edge_cap < edge_keys.shape[0]:
+        edge_keys = edge_keys[:edge_cap]
+        n_edges = jnp.minimum(n_edges, edge_cap)
     E = edge_keys.shape[0]
     edge_valid = jnp.arange(E) < n_edges
     node_valid = jnp.arange(N) < n_nodes
@@ -371,13 +421,14 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
     U = max_unitigs
     out = jnp.full((U, max_len), dna.N, jnp.int8)
     lens = jnp.zeros(U, jnp.int32)
-    # head prefixes
-    head_uid = uidx_of[jnp.where(new_head, jnp.arange(N), N)]
-    for b in range(sub_k):
-        base = _kmer_base(node_keys, b)
-        tgt = jnp.where((head_uid >= 0) & (b < max_len), head_uid, U)
-        out = out.at[tgt, b].set(jnp.where(tgt < U, base, dna.N).astype(jnp.int8),
-                                 mode="drop")
+    # head prefixes: gather the top-k heads' packed k-mers ([U] rows)
+    # and lay their sub_k bases into columns — no scatter needed
+    head_keys = node_keys[jnp.clip(top, 0, N - 1)]          # [U, nl]
+    prefix = jnp.stack([_kmer_base(head_keys, b)
+                        for b in range(sub_k)], axis=1)     # [U, sub_k]
+    cols = min(sub_k, max_len)
+    out = out.at[:, :cols].set(
+        jnp.where(top_ok[:, None], prefix[:, :cols], dna.N))
     # tail bases: node v at offset o>=1 contributes its last base
     vuid = uidx_of[jnp.where(node_valid, rep, N)]
     pos = sub_k - 1 + off
@@ -404,23 +455,29 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
     lens = jnp.where(keep[order2], lens[order2], 0)
     count = jnp.sum(keep).astype(jnp.int32)
     out = jnp.where((jnp.arange(U) < count)[:, None], out, dna.N)
+    if node_cap is not None or edge_cap is not None:
+        return out, lens, count, n_nodes_raw, n_edges_raw
     return out, lens, count
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sub_k", "max_unitigs",
                                              "max_len", "min_len",
                                              "pop_bubbles",
-                                             "max_bubble_len"))
+                                             "max_bubble_len",
+                                             "node_cap", "edge_cap"))
 def assemble_unitigs(kstrings, n_kstrings, kcounts=None, *, k: int,
                      sub_k: int, max_unitigs: int = 64, max_len: int = 1024,
                      min_len: int = 40, pop_bubbles: int = 0,
-                     max_bubble_len: int | None = None):
+                     max_bubble_len: int | None = None,
+                     node_cap: int | None = None,
+                     edge_cap: int | None = None):
     """Batched over gaps: kstrings [G, M, k], n_kstrings [G],
     kcounts optional [G, M]."""
     fn = functools.partial(assemble_unitigs_single, k=k, sub_k=sub_k,
                            max_unitigs=max_unitigs, max_len=max_len,
                            min_len=min_len, pop_bubbles=pop_bubbles,
-                           max_bubble_len=max_bubble_len)
+                           max_bubble_len=max_bubble_len,
+                           node_cap=node_cap, edge_cap=edge_cap)
     if kcounts is None:
         return jax.vmap(lambda a, b: fn(a, b))(kstrings, n_kstrings)
     return jax.vmap(fn)(kstrings, n_kstrings, kcounts)

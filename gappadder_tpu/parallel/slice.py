@@ -61,6 +61,8 @@ class SliceDims:
     k: int = 17
     sub_k: int = 15
     max_distinct: int = 256
+    node_cap: int = 0    # 0 = auto: next_pow2(2*max_distinct + 4*k);
+    #                      overflow is surfaced in counts[3:5]
     max_unitigs: int = 4
     max_contig_len: int = 512
     min_contig_len: int = 40
@@ -180,10 +182,16 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     hist = jax.lax.psum(hist, axis)
 
     # ---- per-gap DBG unitig assembly (local to the home shard) ----------
-    useq, ulen, ucnt = dbg.assemble_unitigs(
+    ncap = dims.node_cap or 1 << (2 * dims.max_distinct
+                                  + 4 * dims.k - 1).bit_length()
+    useq, ulen, ucnt, nn_raw, ne_raw = dbg.assemble_unitigs(
         kstr, nk, kcnt, k=dims.k, sub_k=dims.sub_k,
         max_unitigs=dims.max_unitigs, max_len=dims.max_contig_len,
-        min_len=dims.min_contig_len)
+        min_len=dims.min_contig_len, node_cap=ncap, edge_cap=ncap)
+    # DBG working-set overflow indicators (must stay <= ncap; a value
+    # above it means the caps truncated the graph -> results invalid)
+    over = jax.lax.pmax(jnp.stack([jnp.max(nn_raw), jnp.max(ne_raw)])
+                        .astype(jnp.int32), axis)
 
     # ---- flank pick scoring: both flanks vs the longest unitig ----------
     # home = gap % N at local slot gap // N, so slot j holds gap me + j*N
@@ -204,8 +212,8 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
         jnp.maximum(tl4, 1), SWParams(), "local")
     score = jnp.max(score.reshape(2, 2, Gl), axis=0)  # over strands
 
-    return (counts, hist, n_recv, n_reads, useq, ulen, ucnt,
-            score.reshape(2, Gl).T)
+    return (jnp.concatenate([counts, over]), hist, n_recv, n_reads,
+            useq, ulen, ucnt, score.reshape(2, Gl).T)
 
 
 def make_slice_step(mesh, dims: SliceDims):
@@ -308,7 +316,9 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
         n_shards=n_shards, n_gaps=G, gaps_per_shard=gaps_per_shard,
         entry_cap=max(64, 4 * gaps_per_shard * reads_per_gap_actual),
         reads_per_gap=1 << (reads_per_gap_actual - 1).bit_length(),
-        n_left=n_rec, max_distinct=1 << 10,
+        n_left=n_rec,
+        # distinct k-mers per gap <= tiled region length (contiguous)
+        max_distinct=1 << (2 * margin + gap_len).bit_length(),
         max_contig_len=1 << (gap_len + 2 * margin).bit_length(),
         route_impl=route_impl)
 

@@ -215,14 +215,33 @@ def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
         else:
             max_len = _next_pow2(md + k)
         mu = max(cfg.max_unitigs, 1)
+        # DBG working-set caps from the OBSERVED distinct counts: the
+        # pointer-doubling gathers scale with the padded node count and
+        # the worst-case bound is ~6x the typical one (TPU gathers are
+        # the assembly cost center); start near the contiguous-region
+        # estimate 2*(nk + (k-sub_k)) and auto-grow on overflow.
+        nk_max = max(int(np.asarray(nk).max(initial=0)), 1)
+        ncap = _next_pow2(2 * nk_max + 4 * k)
+        worst = kstr.shape[1] * 2 * (k - sub_k + 1)
         while True:
-            useq, ulen, ucnt = dbg.assemble_unitigs(
+            useq, ulen, ucnt, n_nodes, n_edges = dbg.assemble_unitigs(
                 jnp.asarray(kstr), jnp.asarray(nk), jnp.asarray(kcnt),
                 k=k, sub_k=sub_k,
                 max_unitigs=mu, max_len=max_len,
                 min_len=cfg.min_contig_len,
-                pop_bubbles=cfg.bubble_pop_rounds)
+                pop_bubbles=cfg.bubble_pop_rounds,
+                node_cap=min(ncap, worst),
+                edge_cap=min(ncap, worst))
             useq, ulen, ucnt = map(np.asarray, (useq, ulen, ucnt))
+            over = max(int(np.asarray(n_nodes).max(initial=0)),
+                       int(np.asarray(n_edges).max(initial=0)))
+            if over > min(ncap, worst) and ncap < worst:
+                log.warn_cap(
+                    "dbg_node_cap_grow",
+                    "DBG node/edge cap %d overflowed (%d distinct, "
+                    "k=%d); retrying at %d", ncap, over, k, ncap * 2)
+                ncap *= 2
+                continue
             if (ucnt >= mu).any() and mu < (1 << 14):
                 log.warn_cap(
                     "unitig_slots_grow",
