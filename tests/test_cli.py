@@ -63,3 +63,20 @@ def test_cli_all_and_resume(tmp_path, rng, capsys):
     rc = main(["-c", "Clean", "-g", str(tmp_path / "config.json")])
     assert rc == 0
     assert not (tmp_path / "work").exists()
+
+
+def test_example_config_parses():
+    """examples/configuration.json (the user-facing sample, reference
+    schema) parses, incl. a bam-less self-mapping library."""
+    import json
+    import os
+    from gappadder_tpu.config import config_from_dict
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "examples", "configuration.json")
+    with open(path) as fh:
+        cfg = config_from_dict(json.load(fh),
+                               base_dir=os.path.dirname(path))
+    assert len(cfg.libraries) == 2
+    assert cfg.libraries[0].bam.endswith("lib300.sort.bam")
+    assert cfg.libraries[1].bam is None           # self-mapping mode
+    assert cfg.kmers == ((30, 29), (30, 27), (40, 39), (40, 37))
