@@ -310,15 +310,17 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
     _pick_gaps(cfg, gaps, open_gaps, contig_store, fills, exts,
                cfg.pick_min_score_final, allow_extension=True)
 
-    _write_picked(cfg, ws, gaps, fills, exts)
+    _write_picked(cfg, ws, gaps, fills, exts, contig_store)
     ws.mark_done("assembly", config_hash(cfg), filled=len(fills),
                  extended=len(exts))
     return fills, exts, contig_store
 
 
-def _write_picked(cfg, ws, gaps, fills, exts):
+def _write_picked(cfg, ws, gaps, fills, exts, contig_store=None):
     """picked_seqs.fa in the reference's naming
-    (<gap_id>_<contig> / <gap_id>_<l>_<r>_extended)."""
+    (<gap_id>_<contig> / <gap_id>_<l>_<r>_extended), plus
+    picked_seqs.fa_ori.txt with the WHOLE winning contigs
+    (pick_contigs.py:566-572 cats per-gap picked_contigs.fa there)."""
     ids = gap_ids(gaps)
     recs = []
     for g, (seq, cname) in sorted(fills.items()):
@@ -328,6 +330,28 @@ def _write_picked(cfg, ws, gaps, fills, exts):
             continue
         recs.append((f"{ids[g]}_{names}_extended", seq))
     fasta.write_fasta(ws.path("picked_seqs.fa"), recs)
+
+    if contig_store is None:
+        return
+    ori = []
+    for g in sorted(set(fills) | set(exts)):
+        if g not in contig_store:
+            continue
+        s, l, n, names = contig_store[g]
+        if g in fills:
+            def match(nm, _w=fills[g][1]):
+                return nm == _w
+        else:
+            # extension name is "<lname>_<rname>" (contig names may
+            # themselves contain underscores, so match by affix)
+            def match(nm, _w=str(exts[g][1])):
+                return (_w == nm or _w.startswith(nm + "_")
+                        or _w.endswith("_" + nm))
+        for i in range(int(n)):
+            if match(names[i]):
+                ori.append((f"{ids[g]}_{names[i]}",
+                            np.asarray(s[i][:int(l[i])])))
+    fasta.write_fasta(ws.path("picked_seqs.fa_ori.txt"), ori)
 
 
 def fills_as_codes(fills: dict[int, tuple]) -> dict[int, np.ndarray]:

@@ -61,6 +61,12 @@ def test_close_single_gap(tmp_path, rng):
                                  margin=cfg.flank_margin)
     assert dna.decode(recs[0][1]) == truth
 
+    # reference side file: whole winning contigs (pick_contigs.py:566-572)
+    ori = fasta.read_fasta(ws.path("picked_seqs.fa_ori.txt"))
+    assert len(ori.names) >= 1
+    assert ori.names[0] == "0_1_" + fills[0][1]
+    assert int(ori.lengths[0]) >= ge - gs        # spans the gap
+
 
 def test_gap_near_scaffold_edge(tmp_path, rng):
     """Gap 60bp from the scaffold start: the left flank is truncated
