@@ -352,6 +352,9 @@ def map_library(genome: fasta.Genome, index: MinimizerIndex,
         flag |= np.where(self_ok & (p.strand == 1), 0x10, 0)
         flag |= np.where(mate_ok & (q.strand == 1), 0x20, 0)
 
+        # aligned span (the Alignments.nmatch contract is the CIGAR
+        # M/=/X sum — includes mismatches; our verifier emits no
+        # indels, so span = len - clips exactly)
         span_s = rs.length.astype(np.int64) - p.lclip - p.rclip
         span_m = mate_rs.length.astype(np.int64) - q.lclip - q.rclip
         both = self_ok & mate_ok & (scafs == scafm)
@@ -374,7 +377,7 @@ def map_library(genome: fasta.Genome, index: MinimizerIndex,
                     tlen=tlen.astype(np.int32),
                     lclip=np.asarray(p.lclip, np.int32),
                     rclip=np.asarray(p.rclip, np.int32),
-                    nmatch=np.asarray(p.nmatch, np.int32),
+                    nmatch=np.where(self_ok, span_s, 0).astype(np.int32),
                     read_len=np.asarray(rs.length, np.int32))
 
     cl = side_cols(pl, pr, True, left, right)

@@ -66,36 +66,48 @@ def route_shard(payloads, dest, valid, *, axis: str, n_shards: int,
         2-D rows both fine).
       dest: int32 [cap] destination shard per row.
       valid: bool [cap].
-      out_cap: static per-shard receive capacity. The caller must size
-        this so no shard overflows (n_recv is returned so the host can
-        verify); overflowing rows are dropped deterministically from
-        the highest source ranks.
+      out_cap: static per-shard receive capacity. Overflowing rows are
+        dropped deterministically from the highest source ranks (both
+        impls clamp against the same all-gathered count matrix, so
+        ragged send/recv sizes stay globally consistent).
       impl: "ragged" (TPU) or "dense" (any backend).
 
     Returns (routed, src, n_recv):
       routed: tuple of [out_cap, ...] arrays, rows packed source-major
         (stable within each source shard);
       src: int32 [out_cap] source shard of each received row (-1 pad);
-      n_recv: int32 [1] received row count.
+      n_recv: int32 [1] RAW demand (pre-clamp): a value > out_cap means
+        rows were dropped; min(n_recv, out_cap) rows were delivered.
     """
     order, key_sorted, send, in_off = send_tables(dest, valid, n_shards)
     me = jax.lax.axis_index(axis)
     mat = jax.lax.all_gather(send, axis)              # [src, dst]
-    recv = mat[:, me].astype(jnp.int32)               # from each source
-    n_recv = jnp.sum(recv)[None]
+    # overflow policy (both impls): a destination keeps at most out_cap
+    # rows, dropped deterministically from the HIGHEST source ranks —
+    # clamp each source's contribution to the space left after all
+    # lower-ranked sources (`allowed` is the same matrix on every
+    # shard, so ragged send/recv sizes stay globally consistent)
+    cum = (jnp.cumsum(mat, axis=0) - mat).astype(jnp.int32)  # excl. prefix
+    allowed = jnp.clip(jnp.minimum(mat, out_cap - cum), 0, None)
+    recv = allowed[:, me].astype(jnp.int32)           # from each source
+    # RAW demand (pre-clamp): n_recv > out_cap tells the caller rows
+    # were dropped; min(n_recv, out_cap) rows are actually delivered
+    n_recv = jnp.sum(mat[:, me]).astype(jnp.int32)[None]
     src_payload = jnp.broadcast_to(me, dest.shape).astype(jnp.int32)
 
     if impl == "ragged":
         # where my chunk starts inside destination d's buffer:
         # rows from sources before me land first (source-major order)
-        prior = (jnp.cumsum(mat, axis=0) - mat)[me].astype(jnp.int32)
+        prior = (jnp.cumsum(allowed, axis=0) - allowed)[me].astype(
+            jnp.int32)
+        send_c = allowed[me].astype(jnp.int32)
         outs = []
         for p in tuple(payloads) + (src_payload,):
             ps = p[order]
             fill = -1 if jnp.issubdtype(p.dtype, jnp.signedinteger) else 0
             buf = jnp.full((out_cap,) + p.shape[1:], fill, p.dtype)
             outs.append(jax.lax.ragged_all_to_all(
-                ps, buf, in_off, send, prior, recv, axis_name=axis))
+                ps, buf, in_off, send_c, prior, recv, axis_name=axis))
         return tuple(outs[:-1]), outs[-1], n_recv
 
     # ---- dense: [n_shards, cap] buckets + all_to_all + compaction -------
@@ -110,6 +122,7 @@ def route_shard(payloads, dest, valid, *, axis: str, n_shards: int,
     flat_keep = keep.reshape(-1)
     order2 = jnp.argsort(~flat_keep, stable=True)[:out_cap]
 
+    delivered = jnp.sum(recv)
     outs = []
     for p in tuple(payloads) + (src_payload,):
         ps = p[order]
@@ -121,7 +134,7 @@ def route_shard(payloads, dest, valid, *, axis: str, n_shards: int,
         res = flat[order2]
         pad_row = jnp.full(res.shape[1:], fill, p.dtype)
         res = jnp.where(
-            (jnp.arange(out_cap) < n_recv[0]).reshape(
+            (jnp.arange(out_cap) < delivered).reshape(
                 (-1,) + (1,) * (res.ndim - 1)),
             res, pad_row)
         outs.append(res)

@@ -74,6 +74,15 @@ class SliceDims:
     hq_mapq: int = 60
     route_impl: str = "dense"
 
+    @property
+    def effective_node_cap(self) -> int:
+        """The DBG node/edge cap actually used by the step (auto
+        formula when node_cap == 0) — single source of truth for the
+        kernel, the dryrun assert and the benches."""
+        if self.node_cap:
+            return self.node_cap
+        return 1 << (2 * self.max_distinct + 4 * self.k - 1).bit_length()
+
 
 def _extract_entries(out, mapq, name_hi, name_lo, dims: SliceDims):
     """Flatten classification hits into (gap, side, hi, lo, hq, valid)."""
@@ -95,7 +104,13 @@ def _extract_entries(out, mapq, name_hi, name_lo, dims: SliceDims):
 
 
 def _group_rows(gap, side, row, hq, valid, dims: SliceDims):
-    """Scatter joined recruits into a [Gl, R] global-read-row table."""
+    """Scatter joined recruits into a [Gl, R] global-read-row table.
+
+    Returns (rowtab, hqtab, n_reads, n_raw_max): rows beyond R per gap
+    are dropped (deterministically, highest routing rank first) and
+    n_raw_max — the PRE-truncation maximum per-gap count — is
+    surfaced so the caller can detect the loss (never silent).
+    """
     Gl, R = dims.gaps_per_shard, dims.reads_per_gap
     lg = gap // dims.n_shards
     grow = row + side * dims.n_left
@@ -115,7 +130,8 @@ def _group_rows(gap, side, row, hq, valid, dims: SliceDims):
         (key_s, rank)].set(hq_s, mode="drop")
     n_reads = jnp.zeros(Gl, jnp.int32).at[key_s].add(
         (key_s < Gl).astype(jnp.int32), mode="drop")
-    return rowtab, hqtab, jnp.minimum(n_reads, R)
+    return (rowtab, hqtab, jnp.minimum(n_reads, R),
+            jnp.max(n_reads, initial=0))
 
 
 def _distinct_kmers(seq, rlen, dims: SliceDims):
@@ -166,7 +182,8 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
         rhq.astype(bool), tbl_hi, tbl_lo, tbl_row, tbl_side)
 
     # ---- group per local gap, gather read payloads ----------------------
-    rowtab, _hqtab, n_reads = _group_rows(g2, s2, row2, hq2, ok2, dims)
+    rowtab, _hqtab, n_reads, n_raw_max = _group_rows(
+        g2, s2, row2, hq2, ok2, dims)
     Ntot = reads_tbl.shape[0]
     safe = jnp.clip(rowtab, 0, Ntot - 1)
     live = rowtab >= 0
@@ -182,16 +199,19 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     hist = jax.lax.psum(hist, axis)
 
     # ---- per-gap DBG unitig assembly (local to the home shard) ----------
-    ncap = dims.node_cap or 1 << (2 * dims.max_distinct
-                                  + 4 * dims.k - 1).bit_length()
+    ncap = dims.effective_node_cap
     useq, ulen, ucnt, nn_raw, ne_raw = dbg.assemble_unitigs(
         kstr, nk, kcnt, k=dims.k, sub_k=dims.sub_k,
         max_unitigs=dims.max_unitigs, max_len=dims.max_contig_len,
         min_len=dims.min_contig_len, node_cap=ncap, edge_cap=ncap)
-    # DBG working-set overflow indicators (must stay <= ncap; a value
-    # above it means the caps truncated the graph -> results invalid)
-    over = jax.lax.pmax(jnp.stack([jnp.max(nn_raw), jnp.max(ne_raw)])
-                        .astype(jnp.int32), axis)
+    # capacity indicators, pmax'd over the mesh (NEVER silent — see
+    # check_overflow): raw node/edge counts (> effective_node_cap =
+    # graph truncated), raw per-gap recruit max (> reads_per_gap =
+    # read set truncated), distinct-k-mer max (== max_distinct =
+    # k-mer table possibly saturated)
+    over = jax.lax.pmax(jnp.stack(
+        [jnp.max(nn_raw), jnp.max(ne_raw), n_raw_max,
+         jnp.max(nk, initial=0)]).astype(jnp.int32), axis)
 
     # ---- flank pick scoring: both flanks vs the longest unitig ----------
     # home = gap % N at local slot gap // N, so slot j holds gap me + j*N
@@ -216,16 +236,49 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
             useq, ulen, ucnt, score.reshape(2, Gl).T)
 
 
+# _step's argument split: the first N_DP_ARGS are sharded along the
+# mesh (alignment-record columns + name hashes), the remaining
+# N_REP_ARGS are replicated (window/gap tables, FASTQ name table, read
+# store, flanks). Single source of truth for make_slice_step,
+# place_args and the benches.
+N_DP_ARGS = 11
+N_REP_ARGS = 17
+
+
+def step_specs(mesh):
+    """(in_specs, out_specs) for shard_map'ing _step over `mesh`."""
+    axes = tuple(mesh.axis_names)
+    dp, rep = P(axes), P()
+    return ((dp,) * N_DP_ARGS + (rep,) * N_REP_ARGS,
+            (rep, rep, dp, dp, dp, dp, dp, dp))
+
+
+def check_overflow(dims: SliceDims, counts) -> None:
+    """Raise if the step's capacity indicators report truncation."""
+    nodes, edges, raw_reads, nk = (int(x) for x in counts[3:7])
+    ncap = dims.effective_node_cap
+    if nodes > ncap or edges > ncap:
+        raise OverflowError(
+            f"DBG node/edge cap {ncap} overflowed ({nodes}/{edges} "
+            "distinct): raise SliceDims.node_cap/max_distinct")
+    if raw_reads > dims.reads_per_gap:
+        raise OverflowError(
+            f"per-gap read table overflowed ({raw_reads} > "
+            f"{dims.reads_per_gap}): raise SliceDims.reads_per_gap")
+    if nk >= dims.max_distinct:
+        raise OverflowError(
+            f"distinct-k-mer table saturated ({nk} == "
+            f"{dims.max_distinct}): raise SliceDims.max_distinct")
+
+
 def make_slice_step(mesh, dims: SliceDims):
     """Jitted fused step over `mesh` (all axes flattened as dp)."""
     axes = tuple(mesh.axis_names)
     axis = axes[0] if len(axes) == 1 else axes
-    dp, rep = P(axes), P()
+    in_specs, out_specs = step_specs(mesh)
     fn = functools.partial(_step, dims=dims, axis=axis)
     return jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(dp,) * 11 + (rep,) * 17,
-        out_specs=(rep, rep, dp, dp, dp, dp, dp, dp),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False))
 
 
@@ -332,11 +385,11 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
 
 
 def arg_shardings(mesh):
-    """The step's input shardings (11 dp + 17 replicated)."""
+    """The step's input shardings (N_DP_ARGS dp + N_REP_ARGS repl.)."""
     axes = tuple(mesh.axis_names)
     dp = NamedSharding(mesh, P(axes))
     rep = NamedSharding(mesh, P())
-    return [dp] * 11 + [rep] * 17
+    return [dp] * N_DP_ARGS + [rep] * N_REP_ARGS
 
 
 def place_args(mesh, args):

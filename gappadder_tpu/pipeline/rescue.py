@@ -91,21 +91,27 @@ def _verify_hits(read_seq, read_lens, pairs, contig_arr, contig_lens,
             tl[i] = clen
     from ..ops.swutil import sw_pairs
     score, qe, te = sw_pairs(q, ql, t, tl, BWA_PARAMS, "local")
-    # qstart without traceback: align the REVERSED pair — its query end
-    # is ql - qstart of an optimal alignment (same score by symmetry)
+    # qstart without traceback: align the REVERSED PREFIXES q[:qe],
+    # t[:te] — anchoring at the chosen end point so that under score
+    # ties qstart belongs to the SAME optimal alignment as (qe, te)
+    # (reversing the whole pair could pick a different co-optimal hit)
     qr = np.full_like(q, dna.N)
     tr = np.full_like(t, dna.N)
     for i in range(B):
-        qr[i, :ql[i]] = q[i, :ql[i]][::-1]
-        tr[i, :tl[i]] = t[i, :tl[i]][::-1]
-    _, qe_rev, _ = sw_pairs(qr, ql, tr, tl, BWA_PARAMS, "local")
+        e1, e2 = int(qe[i]), int(te[i])
+        qr[i, :e1] = q[i, :e1][::-1]
+        tr[i, :e2] = t[i, :e2][::-1]
+    _, qe_rev, _ = sw_pairs(qr, np.asarray(qe, np.int32),
+                            tr, np.maximum(np.asarray(te, np.int32), 1),
+                            BWA_PARAMS, "local")
     out = []
     for i, p in enumerate(pairs):
         r, s, c = p[0], p[1], p[2]
         if score[i] >= min_score:
             # CIGAR-style clip typing (Alignment.cpp clip semantics):
             # soft clip = query bases outside the local alignment span
-            lclip = int(ql[i]) - int(qe_rev[i])
+            # (segment start = qe - consumed-end of the reversed prefix)
+            lclip = int(qe[i]) - int(qe_rev[i])
             rclip = int(ql[i]) - int(qe[i])
             clipped = lclip >= CLIP_MIN or rclip >= CLIP_MIN
             out.append((r, s, c, int(score[i]), clipped))

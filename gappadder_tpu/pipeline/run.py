@@ -224,7 +224,10 @@ def _pick_gaps(cfg, gaps, gap_list, contig_store, fills, exts, min_score,
                     nm = gc.names[i]
                     lname = nm[lc] if lc >= 0 else ""
                     rname = nm[rc_] if rc_ >= 0 else ""
-                    exts[g] = (seq, f"{lname}_{rname}")
+                    # keep the exact winner names alongside the joined
+                    # display string (contig names embed underscores,
+                    # so the joined form is not splittable)
+                    exts[g] = (seq, f"{lname}_{rname}", (lname, rname))
 
 
 def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
@@ -325,10 +328,10 @@ def _write_picked(cfg, ws, gaps, fills, exts, contig_store=None):
     recs = []
     for g, (seq, cname) in sorted(fills.items()):
         recs.append((f"{ids[g]}_{cname}", seq))
-    for g, (seq, names) in sorted(exts.items()):
+    for g, ext in sorted(exts.items()):
         if g in fills:
             continue
-        recs.append((f"{ids[g]}_{names}_extended", seq))
+        recs.append((f"{ids[g]}_{ext[1]}_extended", ext[0]))
     fasta.write_fasta(ws.path("picked_seqs.fa"), recs)
 
     if contig_store is None:
@@ -339,16 +342,11 @@ def _write_picked(cfg, ws, gaps, fills, exts, contig_store=None):
             continue
         s, l, n, names = contig_store[g]
         if g in fills:
-            def match(nm, _w=fills[g][1]):
-                return nm == _w
+            wanted = {fills[g][1]}
         else:
-            # extension name is "<lname>_<rname>" (contig names may
-            # themselves contain underscores, so match by affix)
-            def match(nm, _w=str(exts[g][1])):
-                return (_w == nm or _w.startswith(nm + "_")
-                        or _w.endswith("_" + nm))
+            wanted = {nm for nm in exts[g][2] if nm}
         for i in range(int(n)):
-            if match(names[i]):
+            if names[i] in wanted:
                 ori.append((f"{ids[g]}_{names[i]}",
                             np.asarray(s[i][:int(l[i])])))
     fasta.write_fasta(ws.path("picked_seqs.fa_ori.txt"), ori)

@@ -40,7 +40,6 @@ def measure(n_shards: int, gaps_per_shard: int = 16,
     """Slope-timed fused-step throughput on the current backend."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from gappadder_tpu.parallel import slice as sl
     from gappadder_tpu.parallel.mesh import make_mesh
 
@@ -53,11 +52,9 @@ def measure(n_shards: int, gaps_per_shard: int = 16,
     import functools
     from gappadder_tpu.parallel.slice import _step
     fn = functools.partial(_step, dims=dims, axis="dp")
-    dp, rep = P(("dp",)), P()
-    sharded = jax.shard_map(fn, mesh=mesh,
-                            in_specs=(dp,) * 11 + (rep,) * 17,
-                            out_specs=(rep, rep, dp, dp, dp, dp, dp, dp),
-                            check_vma=False)
+    in_specs, out_specs = sl.step_specs(mesh)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
 
     def make_chain(K):
         @jax.jit

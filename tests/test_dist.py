@@ -97,3 +97,28 @@ def test_send_tables():
     assert np.asarray(in_off).tolist() == [0, 1, 2]
     assert np.asarray(key_s).tolist() == [0, 1, 2, 2, 3]
     assert np.asarray(order).tolist() == [1, 3, 0, 2, 4]
+
+
+def test_dense_route_overflow_drops_highest_ranks(rng):
+    """out_cap smaller than demand: rows are dropped deterministically
+    from the HIGHEST source ranks, delivered rows stay intact, and
+    n_recv reports the RAW demand so the caller can detect the loss."""
+    mesh = make_mesh(shape=(4,), axes=("dp",), devices=jax.devices()[:4])
+    N, cap, out_cap = 4, 8, 12          # demand to shard 0 = 32 > 12
+    dest = np.zeros((N, cap), np.int32)
+    valid = np.ones((N, cap), bool)
+    pay = (np.arange(N * cap, dtype=np.int32)).reshape(N, cap)
+
+    router = dist.make_router(mesh, n_payloads=1, out_cap=out_cap,
+                              impl="dense")
+    (r,), src, n_recv = router((dist.place_dp(mesh, pay.reshape(-1)),),
+                               dist.place_dp(mesh, dest.reshape(-1)),
+                               dist.place_dp(mesh, valid.reshape(-1)))
+    r = np.asarray(r).reshape(N, out_cap)
+    src = np.asarray(src).reshape(N, out_cap)
+    n_recv = np.asarray(n_recv).reshape(N)
+    assert n_recv[0] == 32                       # raw demand visible
+    # delivered: all 8 rows of source 0, first 4 rows of source 1
+    want = np.concatenate([pay[0], pay[1, :4]])
+    assert (r[0] == want).all()
+    assert (src[0] == [0] * 8 + [1] * 4).all()
