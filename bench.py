@@ -1,26 +1,31 @@
-"""Benchmark: end-to-end fused pipeline throughput + SW kernel, on the
-real chip, with a live CPU baseline.
+"""Benchmark orchestrator: end-to-end fused pipeline throughput + SW
+kernel on the real chip, with a live (time-boxed) CPU baseline.
 
 Headline metric: gaps/s of the FUSED pipeline slice — the production
 collect->assemble->pick dataplane (classify, gap-home routing, dedup,
-k-mer counting, DBG unitig assembly, flank SW) in one jit
-(gappadder_tpu/parallel/slice.py). This is the end-to-end device
-computation the framework runs per step; the reference's counterpart
-is the per-gap process soup of /root/reference/assemble_gaps.py:296-318.
-vs_baseline = TPU / CPU-backend ratio of the SAME computation
-(live-measured in a CPU subprocess).
+k-mer counting, DBG unitig assembly, flank pick scoring) in one jit
+(gappadder_tpu/parallel/slice.py). The reference's counterpart is the
+per-gap process soup of /root/reference/assemble_gaps.py:296-318.
+vs_baseline = TPU / CPU-backend ratio of the SAME computation.
 
-Also reported inside the same JSON object: records-classified/s, the
-SW kernel microbenchmark (reads-aligned/s + GCUPS at flank-pick
-shapes, vs the live numpy wavefront DP), and a CPU weak-scaling row.
+UN-TIMEOUT-ABLE BY CONSTRUCTION (round-2 postmortem: rc=124 wiped the
+round's perf evidence). This process does NO jax work itself; each
+measurement runs in a subprocess under its own timeout inside a global
+wall-clock budget (GAPPADDER_BENCH_BUDGET, default 420 s). Device init
+plus the first tunnel transfer costs ~100 s on the axon-tunneled TPU,
+so ALL device-side measurements share one subprocess
+(scripts/tpu_bench_json.py) which writes results INCREMENTALLY to a
+file — killing it on timeout still yields whatever finished. The CPU
+baseline runs second (cheap: CPU backend, fast compiles) and falls
+back to a recorded builder-local figure (marked
+"cpu_baseline_source": "cached") if it doesn't fit the budget. The
+JSON line is printed from whatever landed — worst case it still
+appears with degraded fields.
 
-Timing methodology (IMPORTANT, see docs/kernel-notes.md): on the
-axon-tunneled TPU, jax.block_until_ready can return before the device
-finishes, so naive timing over-reports by >10x. Every device number
-here is slope-timed: K dependency-chained steps inside ONE jit, a
-forced host readback, best-of-N, (time(K_hi) - time(K_lo)) / (K_hi -
-K_lo) — the tunnel round-trip cancels and the data dependency
-prevents elision/overlap.
+Timing methodology (docs/kernel-notes.md): on the axon-tunneled TPU,
+jax.block_until_ready can return before the device finishes, so every
+device number is slope-timed — K dependency-chained steps inside ONE
+jit, forced host readback, best-of-N, (t(K_hi)-t(K_lo))/(K_hi-K_lo).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -30,141 +35,131 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 _ROOT = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, _ROOT)
-sys.path.insert(0, os.path.join(_ROOT, "scripts"))
+_T0 = time.monotonic()
+BUDGET = float(os.environ.get("GAPPADDER_BENCH_BUDGET", "420"))
 
-import numpy as np
-
-
-def sw_kernel_numbers():
-    """Slope-timed SW kernel at flank-pick shapes + numpy baseline."""
-    import jax
-    import jax.numpy as jnp
-    from gappadder_tpu.ops import sw_host, sw_pallas, sw_xla
-    from gappadder_tpu.ops.sw_host import SWParams
-
-    on_tpu = jax.default_backend() == "tpu"
-    B, Lq, Lt = 512, 128, 1024
-    rng = np.random.default_rng(0)
-    q = rng.integers(0, 4, (B, Lq)).astype(np.int8)
-    t = rng.integers(0, 4, (B, Lt)).astype(np.int8)
-    ql = np.full(B, Lq, np.int32)
-    tl = np.full(B, Lt, np.int32)
-    params = SWParams(1, -4, 7, 1)
-
-    qd, td = jax.device_put(q), jax.device_put(t)
-    qld, tld = jax.device_put(ql), jax.device_put(tl)
-
-    if on_tpu:
-        kern = lambda q, t: sw_pallas.sw_batch_pallas(
-            q, qld, t, tld, params, "local")
-    else:
-        kern = lambda q, t: sw_xla.sw_batch(q, qld, t, tld, params,
-                                            "local")
-
-    def make_chain(K):
-        @jax.jit
-        def chained(q, t):
-            s = jnp.zeros((), jnp.int32)
-            for _ in range(K):
-                w = jnp.where(s < 0, 1, 0).astype(jnp.int8)  # 0 at runtime
-                sc, _, _ = kern(q + w, t)
-                s = s + sc.sum()
-            return s
-        return chained
-
-    times = {}
-    for K in (1, 65):
-        fn = make_chain(K)
-        np.asarray(fn(qd, td))                    # compile + warm
-        best = float("inf")
-        for _ in range(5):                        # best-of-5 denoises tunnel
-            t0 = time.time()
-            np.asarray(fn(qd, td))                # fetch forces completion
-            best = min(best, time.time() - t0)
-        times[K] = best
-    dt = (times[65] - times[1]) / 64
-
-    # live CPU baseline: same wavefront DP in numpy, one pair, scaled
-    nb = 4
-    t0 = time.time()
-    for i in range(nb):
-        sw_host.dp_matrices(q[i], t[i], params, "local")
-    base_dt_per_pair = (time.time() - t0) / nb
-
-    return {
-        "sw_reads_aligned_per_s": round(B / dt, 1),
-        "sw_gcups": round(B * Lq * Lt / dt / 1e9, 1),
-        "sw_impl": "pallas-tpu" if on_tpu else f"xla-{jax.default_backend()}",
-        "sw_vs_numpy_host": round((B / dt) * base_dt_per_pair, 1),
-    }
+# Builder-local CPU baseline of the same fused-slice computation
+# (scripts/slice_bench.py --cpu), recorded so a slow CPU box can never
+# sink the bench. Superseded by the live run whenever it fits.
+CACHED_CPU = {"gaps_per_s_1shard": 69.0, "gaps_per_s_8shard": 114.0,
+              "source": "builder-local round 2 (2-core CPU)"}
 
 
-def cpu_subprocess_rows(shards):
-    """Run scripts/slice_bench.py --cpu in a subprocess (the in-process
-    backend is already bound to the TPU)."""
-    env = {k: v for k, v in os.environ.items()
-           if not k.startswith(("JAX_", "XLA_"))}
-    out = subprocess.run(
-        [sys.executable, os.path.join(_ROOT, "scripts", "slice_bench.py"),
-         "--cpu", "--shards=" + ",".join(map(str, shards))],
-        capture_output=True, text=True, timeout=1500, env=env)
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - _T0)
+
+
+def run_stage(argv, timeout):
+    """Run a bench stage subprocess; return its last stdout JSON line
+    or None. Never raises."""
+    if timeout < 5:
+        return None
+    try:
+        out = subprocess.run(
+            [sys.executable] + argv, capture_output=True, text=True,
+            timeout=timeout, cwd=_ROOT)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-1500:] + "\n")
+            return None
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith(("{", "[")):
+                return json.loads(line)
+        return None
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench stage timed out: {argv}\n")
+        return None
+    except Exception as e:  # noqa: BLE001 — bench must never crash
+        sys.stderr.write(f"bench stage failed: {argv}: {e}\n")
+        return None
 
 
 def main():
-    import jax
-    cache_dir = os.path.join(_ROOT, ".jax_cache")
+    extras = {"bench_budget_s": BUDGET}
+
+    # 1) device-side stage: SW kernel + fused slice, one subprocess,
+    #    incremental result file survives a timeout kill.
+    fd, out_path = tempfile.mkstemp(suffix=".json", prefix="gpt_bench_")
+    os.close(fd)
+    dev = run_stage(
+        [os.path.join("scripts", "tpu_bench_json.py"),
+         f"--out={out_path}", "--gaps=16"],
+        timeout=remaining() - 60)
+    if dev is None:  # killed or crashed: salvage the incremental file
+        try:
+            with open(out_path) as f:
+                dev = json.load(f)
+            extras["device_stage"] = "partial (timed out)"
+        except Exception:
+            dev = {}
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
+        os.unlink(out_path)
+    except OSError:
         pass
 
-    from slice_bench import measure
+    slice_row = dev.get("slice")
+    for k in ("backend", "device_init_s", "sw_error", "slice_error"):
+        if k in dev:
+            extras[k] = dev[k]
+    for k in ("sw_reads_aligned_per_s", "sw_gcups", "sw_impl",
+              "sw_vs_numpy_host"):
+        if k in dev:
+            extras[k] = dev[k]
+    if slice_row:
+        extras["e2e_records_per_s"] = slice_row["records_per_s"]
+        extras["e2e_route_impl"] = slice_row["route_impl"]
 
-    extras = {}
-    # 1) fused-slice e2e on the default backend (TPU under the driver)
-    dev = measure(1, gaps_per_shard=16)
-    extras["e2e_backend"] = dev["backend"]
-    extras["e2e_records_per_s"] = round(dev["records_per_s"], 1)
-    extras["e2e_route_impl"] = dev["route_impl"]
-
-    # 2) live CPU baseline of the same computation + weak-scaling row
-    try:
-        rows = cpu_subprocess_rows([1, 8])
-        cpu1 = rows[0]["gaps_per_s"]
+    # 2) live CPU baseline + weak-scaling row, strictly time-boxed
+    cpu_rows = run_stage(
+        [os.path.join("scripts", "slice_bench.py"), "--cpu",
+         "--shards=1,8", "--gaps=16"],
+        timeout=remaining() - 10)
+    if cpu_rows:
+        cpu1 = cpu_rows[0]["gaps_per_s"]
+        extras["cpu_baseline_source"] = "live"
         extras["cpu_gaps_per_s"] = round(cpu1, 2)
         extras["cpu_scaling_1_to_8"] = {
-            "gaps_per_s": [round(r["gaps_per_s"], 2) for r in rows],
-            "shards": [r["n_shards"] for r in rows],
+            "gaps_per_s": [round(r["gaps_per_s"], 2) for r in cpu_rows],
+            "shards": [r["n_shards"] for r in cpu_rows],
         }
-        vs = dev["gaps_per_s"] / cpu1
-    except Exception as e:  # CPU baseline must never sink the bench
-        extras["cpu_error"] = str(e)[:200]
-        vs = 0.0
+    else:
+        cpu1 = CACHED_CPU["gaps_per_s_1shard"]
+        extras["cpu_baseline_source"] = "cached"
+        extras["cpu_gaps_per_s"] = cpu1
+        extras["cpu_baseline_note"] = CACHED_CPU["source"]
 
-    # 3) SW kernel microbenchmark
-    try:
-        extras.update(sw_kernel_numbers())
-    except Exception as e:
-        extras["sw_error"] = str(e)[:200]
+    extras["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
 
-    print(json.dumps({
-        "metric": "e2e_gaps_per_s",
-        "value": round(dev["gaps_per_s"], 1),
-        "unit": (f"gaps/s, fused collect+assemble+pick slice "
-                 f"({dev['n_gaps_per_step']} gaps x "
-                 f"{dev['n_records_per_step']} records/step, "
-                 f"slope-timed, vs live CPU-backend run)"),
-        "vs_baseline": round(vs, 2),
-        **extras,
-    }))
+    if slice_row:
+        rec = {
+            "metric": "e2e_gaps_per_s",
+            "value": round(slice_row["gaps_per_s"], 1),
+            "unit": (f"gaps/s, fused collect+assemble+pick slice "
+                     f"({slice_row['n_gaps_per_step']} gaps x "
+                     f"{slice_row['n_records_per_step']} records/step, "
+                     f"slope-timed, vs CPU-backend run of the same "
+                     f"computation)"),
+            "vs_baseline": round(slice_row["gaps_per_s"] / cpu1, 2),
+            **extras,
+        }
+    elif "sw_reads_aligned_per_s" in extras:  # slice didn't land
+        rec = {
+            "metric": "sw_reads_aligned_per_s",
+            "value": extras["sw_reads_aligned_per_s"],
+            "unit": (f"128x1024 local DP/s ({extras.get('sw_impl')}, "
+                     f"{extras.get('sw_gcups')} GCUPS, slope-timed)"),
+            "vs_baseline": extras.get("sw_vs_numpy_host", 0.0),
+            **extras,
+        }
+    else:  # worst case: still emit a parseable line
+        rec = {"metric": "bench_degraded", "value": 0.0,
+               "unit": "no device stage finished within budget",
+               "vs_baseline": 0.0, **extras}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -188,9 +188,12 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
     new_head = is_head | (node_valid & ~reached_head & (mn == idx32))
 
     # re-run doubling with heads as fixed points: parallel list ranking
-    # (same packing: rank accumulates by ADD, pointer in the low bits —
-    # but rank can reach N, so it needs shift+1 headroom; keep payload
-    # = off in the high bits and add only the high parts)
+    # (same packing: rank accumulates by ADD in the high bits, pointer
+    # in the low bits). Heads are fixed points (off=0, self-pointer),
+    # so the accumulated rank counts hops to the head and is bounded by
+    # the longest chain length <= N-1 < 2^shift — the rank always fits
+    # in the same shift-bit field; packed_ok = 2*shift <= 30 is the
+    # only headroom condition needed.
     p2 = jnp.where(new_head, idx32, prev[:N])
     off = jnp.where(new_head, 0, 1).astype(jnp.int32)
     if packed_ok:

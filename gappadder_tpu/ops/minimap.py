@@ -273,7 +273,11 @@ def map_reads(genome: fasta.Genome, index: MinimizerIndex,
     gain = pref[:, 1:] - cummin[:, :-1]
     seg_end = np.argmax(gain, axis=1).astype(np.int64) + 1
     seg_score = gain[np.arange(N), seg_end - 1]
-    # segment start = first index achieving the running prefix minimum
+    # segment start = LAST index achieving the running prefix minimum
+    # (maximum.accumulate resolves prefix-min ties to the latest index,
+    # i.e. the shortest co-optimal segment: zero-sum edge regions are
+    # clipped rather than absorbed — intended, keeps lclip/rclip tight;
+    # score is unaffected, nmatch counts only the kept segment)
     is_min = pref == cummin
     min_idx = np.maximum.accumulate(
         np.where(is_min, np.arange(Lmax + 1)[None, :], 0), axis=1)

@@ -112,6 +112,11 @@ def route_shard(payloads, dest, valid, *, axis: str, n_shards: int,
 
     # ---- dense: [n_shards, cap] buckets + all_to_all + compaction -------
     cap = dest.shape[0]
+    if out_cap > n_shards * cap:
+        raise ValueError(
+            f"dense route: out_cap={out_cap} exceeds the maximum "
+            f"receivable rows n_shards*cap={n_shards * cap}; lower "
+            "out_cap or pad the per-shard payload")
     rank = jnp.arange(cap, dtype=jnp.int32) - in_off[
         jnp.clip(key_sorted, 0, n_shards - 1)]
     rank = jnp.where(key_sorted < n_shards, rank, cap)  # invalid -> dropped

@@ -62,7 +62,7 @@ class SliceDims:
     sub_k: int = 15
     max_distinct: int = 256
     node_cap: int = 0    # 0 = auto: next_pow2(2*max_distinct + 4*k);
-    #                      overflow is surfaced in counts[3:5]
+    #                      overflow is surfaced in counts[3:8]
     max_unitigs: int = 4
     max_contig_len: int = 512
     min_contig_len: int = 40
@@ -208,10 +208,12 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     # check_overflow): raw node/edge counts (> effective_node_cap =
     # graph truncated), raw per-gap recruit max (> reads_per_gap =
     # read set truncated), distinct-k-mer max (== max_distinct =
-    # k-mer table possibly saturated)
+    # k-mer table possibly saturated), raw router receive demand
+    # (> entry_cap = recruit entries dropped BEFORE grouping — the
+    # first truncation point in the chain)
     over = jax.lax.pmax(jnp.stack(
         [jnp.max(nn_raw), jnp.max(ne_raw), n_raw_max,
-         jnp.max(nk, initial=0)]).astype(jnp.int32), axis)
+         jnp.max(nk, initial=0), n_recv[0]]).astype(jnp.int32), axis)
 
     # ---- flank pick scoring: both flanks vs the longest unitig ----------
     # home = gap % N at local slot gap // N, so slot j holds gap me + j*N
@@ -254,9 +256,18 @@ def step_specs(mesh):
 
 
 def check_overflow(dims: SliceDims, counts) -> None:
-    """Raise if the step's capacity indicators report truncation."""
-    nodes, edges, raw_reads, nk = (int(x) for x in counts[3:7])
+    """Raise if the step's capacity indicators report truncation.
+
+    Single gate for EVERY static cap in the fused step, including the
+    router's entry_cap (the first truncation point): callers need not
+    inspect n_recv separately."""
+    nodes, edges, raw_reads, nk, raw_recv = (int(x) for x in counts[3:8])
     ncap = dims.effective_node_cap
+    if raw_recv > dims.entry_cap:
+        raise OverflowError(
+            f"router receive capacity overflowed ({raw_recv} > "
+            f"{dims.entry_cap} entries on some shard): raise "
+            "SliceDims.entry_cap")
     if nodes > ncap or edges > ncap:
         raise OverflowError(
             f"DBG node/edge cap {ncap} overflowed ({nodes}/{edges} "

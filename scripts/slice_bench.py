@@ -36,7 +36,7 @@ def bench_scenario(n_shards: int, gaps_per_shard: int):
 
 
 def measure(n_shards: int, gaps_per_shard: int = 16,
-            k_lo: int = 1, k_hi: int = 9, repeats: int = 5):
+            k_lo: int = 1, k_hi: int = 5, repeats: int = 5):
     """Slope-timed fused-step throughput on the current backend."""
     import jax
     import jax.numpy as jnp
@@ -103,16 +103,19 @@ def main():
                                          a.split("=")[1].split(",")])
         jax.config.update("jax_num_cpu_devices", n_want)
     shards = [1]
+    gaps = 16
     for a in list(sys.argv[1:]):
         if a.startswith("--shards="):
             shards = [int(x) for x in a.split("=")[1].split(",")]
+        if a.startswith("--gaps="):
+            gaps = int(a.split("=")[1])
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(_ROOT, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    out = [measure(n) for n in shards]
+    out = [measure(n, gaps_per_shard=gaps) for n in shards]
     print(json.dumps(out))
 
 

@@ -69,7 +69,11 @@ def test_slice_mesh_shape_invariance(n_shards, gaps_per_shard):
     contigs/scores and identical global psum outputs."""
     base = run_slice(8, 1)
     got = run_slice(n_shards, gaps_per_shard)
-    assert got["counts"] == base["counts"]
+    # counts[7] is the pmax per-shard router demand — legitimately
+    # mesh-shape-dependent (fewer shards receive more rows each);
+    # everything else must be invariant.
+    assert got["counts"][:7] == base["counts"][:7]
+    assert got["counts"][7] * n_shards >= base["counts"][7]
     assert got["hist"] == base["hist"]
     assert got["total_recv"] == base["total_recv"]
     for g in base["per_gap"]:
