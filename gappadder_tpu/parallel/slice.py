@@ -1,9 +1,9 @@
-"""The REAL sharded pipeline slice: classify -> gap-home route ->
-dedup/join -> group -> k-mer count -> DBG assembly -> flank SW, fused
-in ONE shard_map jit over the device mesh.
+"""The sharded pipeline dataplane: classify -> gap-home route ->
+dedup/join -> group -> multi-k k-mer count -> DBG assembly -> flank
+pick scoring, fused in ONE shard_map jit over the device mesh.
 
-This is the production dataplane of collect+assemble (SURVEY.md §7
-step 6) under its real shardings, not a demo kernel:
+This is the production device inner loop of collect+assemble
+(SURVEY.md §7 step 6) under its real shardings:
 
   alignment records, name hashes   sharded along the mesh (dp)
   window/gap tables, FASTQ name
@@ -24,9 +24,18 @@ per-gap FASTQ dispatch + per-gap process pool
 (/root/reference/run_multi_threads_discordant.py:194-241,
 /root/reference/assemble_gaps.py:296-318).
 
-The low-mapq second pass and multi-library merge stay in the host
-pipeline (pipeline/collect.py); this slice is the scale-out inner
-loop, also used by __graft_entry__.dryrun_multichip.
+UNIFIED WITH THE SHIPPED PIPELINE (round-3): the blocks below —
+`_classify_extract` (collect pass 1), `_route_and_group` (gap-home
+union), `_assemble_block` (multi-(k,sub_k) DBG), `_pick_score_block`
+(the pick stage's first-pass flank scores, same kernel/params) — are
+the SAME functions `pipeline/fused.py` composes for the production
+Collect+Assembly run; `_step` fuses them into the one-jit benchmark/
+dryrun program. Production semantics are parameterized in SliceDims:
+short/long-insert classification, the config's full (k, sub_k) list,
+min_kmer_count error filtering, bubble popping, and the Pallas SW
+kernel on TPU. The low-mapq second pass and the merge/final-pick host
+stages remain in the host pipeline (they are host algorithms by
+design: merge path enumeration + traceback).
 """
 
 from __future__ import annotations
@@ -43,7 +52,7 @@ from .. import dna
 from ..ops import dbg, kmers, sw_xla
 from ..ops.classify import classify_reads
 from ..ops.recruit import dedup_and_join
-from ..ops.sw_host import SWParams
+from ..ops.sw_host import BWA_PARAMS
 from . import dist
 
 HIST_BUCKETS = 512
@@ -51,47 +60,81 @@ HIST_BUCKETS = 512
 
 @dataclasses.dataclass(frozen=True)
 class SliceDims:
-    """Static shape/config bundle for the fused step."""
+    """Static shape/config bundle for the fused step.
+
+    Production fields mirror Config (pipeline semantics): `kset` is the
+    config's (k, sub_k) list, `short_insert`/`dist1`/`dist2` come from
+    the library's insert size, `min_kmer_count`/`pop_bubbles` are the
+    assembly error filters, `use_pallas` selects the Pallas SW kernel
+    for flank scoring (TPU), `lib` offsets the FASTQ-table side key for
+    multi-library runs (side key = 2*lib + side).
+    """
     n_shards: int
     n_gaps: int          # global gap count G
     gaps_per_shard: int  # Gl = ceil(G / n_shards)
     entry_cap: int       # per-shard recruit-entry receive capacity E
     reads_per_gap: int   # R
-    n_left: int          # rows in the left FASTQ table (side offset)
-    k: int = 17
-    sub_k: int = 15
+    kset: tuple[tuple[int, int], ...] = ((17, 15),)
     max_distinct: int = 256
     node_cap: int = 0    # 0 = auto: next_pow2(2*max_distinct + 4*k);
-    #                      overflow is surfaced in counts[3:8]
+    #                      overflow is surfaced in the counts vector
     max_unitigs: int = 4
     max_contig_len: int = 512
     min_contig_len: int = 40
+    min_kmer_count: int = 0
+    pop_bubbles: int = 0
     fanout: int = 4
     dist1: int = 210
     dist2: int = 390
     clip_dist: int = 250
     anchor_mapq: int = 30
     hq_mapq: int = 60
+    short_insert: bool = True
+    use_pallas: bool = False
+    lib: int = 0
     route_impl: str = "dense"
 
-    @property
-    def effective_node_cap(self) -> int:
-        """The DBG node/edge cap actually used by the step (auto
+    def effective_node_cap(self, k: int) -> int:
+        """The DBG node/edge cap actually used for setting k (auto
         formula when node_cap == 0) — single source of truth for the
         kernel, the dryrun assert and the benches."""
         if self.node_cap:
             return self.node_cap
-        return 1 << (2 * self.max_distinct + 4 * self.k - 1).bit_length()
+        return 1 << (2 * self.max_distinct + 4 * k - 1).bit_length()
+
+    @property
+    def n_contigs(self) -> int:
+        """Contig slots per gap: len(kset) * max_unitigs."""
+        return len(self.kset) * self.max_unitigs
 
 
-def _extract_entries(out, mapq, name_hi, name_lo, dims: SliceDims):
-    """Flatten classification hits into (gap, side, hi, lo, hq, valid)."""
+# ---------------------------------------------------------------------------
+# block 1: classification + recruitment-entry extraction  (collect pass 1)
+# ---------------------------------------------------------------------------
+
+def _classify_extract(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
+                      name_hi, name_lo,
+                      wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
+                      *, dims: SliceDims):
+    """Classify records against the gap windows and flatten the hits
+    into recruitment entries (gap, side, hi, lo, hq, valid).
+
+    Sides are FASTQ-table keys: 2*dims.lib + (0 left / 1 right)."""
+    out = classify_reads(
+        tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
+        wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
+        dist1=dims.dist1, dist2=dims.dist2, clip_dist=dims.clip_dist,
+        anchor_mapq=dims.anchor_mapq, short_insert=dims.short_insert,
+        fanout=dims.fanout)
+    counts3 = jnp.stack([jnp.sum(out[k]).astype(jnp.int32)
+                         for k in ("clip", "disc", "unmap")])
+
     parts = []
     for kind, sidekey in (("clip", "side_self"), ("disc", "side_mate"),
                           ("unmap", "side_mate")):
         mask = out[kind]                       # [B, K]
         gap = out["gap"]
-        side = out[sidekey]
+        side = out[sidekey] + 2 * dims.lib
         B, K = mask.shape
         hi = jnp.broadcast_to(name_hi[:, None], (B, K))
         lo = jnp.broadcast_to(name_lo[:, None], (B, K))
@@ -100,25 +143,32 @@ def _extract_entries(out, mapq, name_hi, name_lo, dims: SliceDims):
                       lo.reshape(-1), hq.reshape(-1), mask.reshape(-1)))
     cat = tuple(jnp.concatenate([p[i] for p in parts]) for i in range(6))
     gap, side, hi, lo, hq, valid = cat
-    return gap, side, hi, lo, hq, valid & (gap >= 0)
+    return (gap, side, hi, lo, hq, valid & (gap >= 0)), counts3
 
 
-def _group_rows(gap, side, row, hq, valid, dims: SliceDims):
+# ---------------------------------------------------------------------------
+# block 2: gap-home routing + dedup/join + per-gap grouping
+# ---------------------------------------------------------------------------
+
+def _group_rows(gap, row, hq, valid, dims: SliceDims):
     """Scatter joined recruits into a [Gl, R] global-read-row table.
 
+    Rows within a gap are ordered by ascending global row id — the
+    (lib, side, row) lexsort order of the host pipeline
+    (pipeline/collect.py run_collect), which also makes the table
+    mesh-shape-invariant (independent of routing arrival order).
+
     Returns (rowtab, hqtab, n_reads, n_raw_max): rows beyond R per gap
-    are dropped (deterministically, highest routing rank first) and
+    are dropped (deterministically, highest row ids first) and
     n_raw_max — the PRE-truncation maximum per-gap count — is
     surfaced so the caller can detect the loss (never silent).
     """
     Gl, R = dims.gaps_per_shard, dims.reads_per_gap
     lg = gap // dims.n_shards
-    grow = row + side * dims.n_left
     key = jnp.where(valid, lg, Gl).astype(jnp.int32)
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
-    grow_s = grow[order]
-    hq_s = hq[order]
+    key_s, grow_s, hq_s = jax.lax.sort(
+        (key, row.astype(jnp.int32), hq.astype(jnp.int32)),
+        dimension=0, num_keys=2)
     idx = jnp.arange(key.shape[0], dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones(1, bool),
                              key_s[1:] != key_s[:-1]])
@@ -127,26 +177,150 @@ def _group_rows(gap, side, row, hq, valid, dims: SliceDims):
     rowtab = jnp.full((Gl, R), -1, jnp.int32).at[
         (key_s, rank)].set(grow_s, mode="drop")
     hqtab = jnp.zeros((Gl, R), bool).at[
-        (key_s, rank)].set(hq_s, mode="drop")
+        (key_s, rank)].set(hq_s.astype(bool), mode="drop")
     n_reads = jnp.zeros(Gl, jnp.int32).at[key_s].add(
         (key_s < Gl).astype(jnp.int32), mode="drop")
     return (rowtab, hqtab, jnp.minimum(n_reads, R),
             jnp.max(n_reads, initial=0))
 
 
-def _distinct_kmers(seq, rlen, dims: SliceDims):
-    """Distinct canonical k-mers + counts per local gap (pure jit)."""
-    from ..pipeline.assemble import FULL, _merge_chunk
-    Gl = seq.shape[0]
-    acc = jnp.full((Gl, dims.max_distinct, kmers.num_limbs(dims.k)),
+def _route_and_group(entries, tbl_hi, tbl_lo, tbl_row, tbl_side,
+                     *, dims: SliceDims, axis):
+    """Route entries to gap-home shards, dedup + FASTQ-join, group.
+
+    entries: (gap, side, hi, lo, hq, valid) local arrays.
+    Returns (rowtab, hqtab, n_reads, over2) where over2 =
+    (raw per-gap max, raw router demand) pre-truncation indicators.
+    """
+    N = dims.n_shards
+    gap, side, hi, lo, hq, valid = entries
+    (rgap, rside, rhi, rlo, rhq), _src, n_recv = dist.route_shard(
+        (gap, side, hi, lo, hq.astype(jnp.int32)),
+        dest=gap % N, valid=valid, axis=axis, n_shards=N,
+        out_cap=dims.entry_cap, impl=dims.route_impl)
+
+    g2, s2, row2, hq2, ok2 = dedup_and_join(
+        rgap, rside, rhi.astype(jnp.uint32), rlo.astype(jnp.uint32),
+        rhq.astype(bool), tbl_hi, tbl_lo, tbl_row, tbl_side)
+
+    rowtab, hqtab, n_reads, n_raw_max = _group_rows(g2, row2, hq2, ok2, dims)
+    return rowtab, hqtab, n_reads, (n_raw_max, n_recv[0])
+
+
+# ---------------------------------------------------------------------------
+# block 3: multi-(k, sub_k) distinct-k-mer count + DBG unitig assembly
+# ---------------------------------------------------------------------------
+
+def _distinct_kmers(seq, rlen, k: int, dims: SliceDims,
+                    read_chunk: int = 512):
+    """Distinct canonical k-mers + counts per local gap (pure jit).
+
+    Chunks the read axis exactly like the pipeline's
+    assemble.gap_distinct_kmers so saturation behavior matches; applies
+    the same min_kmer_count filter (0 = keep all, -1 = adaptive error
+    filter, >1 = fixed cutoff)."""
+    from ..pipeline.assemble import FULL, _merge_chunk, filter_min_count
+    Gl, R, _L = seq.shape
+    acc = jnp.full((Gl, dims.max_distinct, kmers.num_limbs(k)),
                    FULL, jnp.uint32)
     cnt = jnp.zeros((Gl, dims.max_distinct), jnp.int32)
-    acc, cnt = _merge_chunk(seq, rlen, acc, cnt, dims.k)
-    distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+    for lo in range(0, R, read_chunk):
+        hi = min(lo + read_chunk, R)
+        acc, cnt = _merge_chunk(seq[:, lo:hi], rlen[:, lo:hi], acc, cnt, k)
+    acc, cnt, distinct = filter_min_count(acc, cnt, dims.min_kmer_count)
     nk = jnp.sum(distinct, axis=-1).astype(jnp.int32)
-    kstr = dbg.unpack_kmers_to_strings(acc, dims.k)
+    kstr = dbg.unpack_kmers_to_strings(acc, k)
     return acc, kstr, nk, cnt, distinct
 
+
+def _assemble_block(seq, rlen, dims: SliceDims):
+    """All (k, sub_k) settings over the local gap batch.
+
+    Returns (useq [Gl, S*mu, Lc], ulen [Gl, S*mu], ucnt [Gl, S],
+    hist [HIST_BUCKETS] from setting 0, over3) where over3 =
+    (max raw nodes/edges over settings, max distinct over settings).
+    Contig slot s*mu + i holds setting s's unitig i — the name
+    "<k>_<sub_k>_<i>" in pipeline terms (host compacts + names).
+    """
+    Gl = seq.shape[0]
+    mu, Lc = dims.max_unitigs, dims.max_contig_len
+    useqs, ulens, ucnts = [], [], []
+    over_nodes = jnp.zeros((), jnp.int32)
+    over_edges = jnp.zeros((), jnp.int32)
+    over_nk = jnp.zeros((), jnp.int32)
+    hist = jnp.zeros((HIST_BUCKETS,), jnp.int32)
+    for si, (k, sub_k) in enumerate(dims.kset):
+        acc, kstr, nk, kcnt, distinct = _distinct_kmers(seq, rlen, k, dims)
+        if si == 0:
+            h = (acc[..., 0] >> 16) % HIST_BUCKETS
+            hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[
+                jnp.where(distinct, h, 0).reshape(-1)].add(
+                distinct.reshape(-1).astype(jnp.int32), mode="drop")
+        ncap = dims.effective_node_cap(k)
+        us, ul, uc, nn_raw, ne_raw = dbg.assemble_unitigs(
+            kstr, nk, kcnt, k=k, sub_k=sub_k,
+            max_unitigs=mu, max_len=Lc, min_len=dims.min_contig_len,
+            pop_bubbles=dims.pop_bubbles, node_cap=ncap, edge_cap=ncap)
+        useqs.append(us)
+        ulens.append(ul)
+        ucnts.append(uc)
+        over_nodes = jnp.maximum(over_nodes, jnp.max(nn_raw))
+        over_edges = jnp.maximum(over_edges, jnp.max(ne_raw))
+        over_nk = jnp.maximum(over_nk, jnp.max(nk, initial=0))
+    useq = jnp.concatenate(useqs, axis=1)       # [Gl, S*mu, Lc]
+    ulen = jnp.concatenate(ulens, axis=1)
+    ucnt = jnp.stack(ucnts, axis=1)             # [Gl, S]
+    return useq, ulen, ucnt, hist, (over_nodes, over_edges, over_nk)
+
+
+# ---------------------------------------------------------------------------
+# block 4: flank pick scoring (the pick stage's first SW pass)
+# ---------------------------------------------------------------------------
+
+def _pick_score_block(useq, ulen, flank_l, flank_r, flank_ll, flank_rl,
+                      dims: SliceDims):
+    """Score left/right flanks (fwd + revcomp) against EVERY contig.
+
+    Same kernel family, params (BWA_PARAMS) and mode ("local") as the
+    pick stage's first pass (pipeline/pick.py align_flanks_to_contigs);
+    Pallas on TPU when dims.use_pallas. Query order qi: 0 = left fwd,
+    1 = left rc, 2 = right fwd, 3 = right rc — the pick module's
+    convention. Returns (score, qend, tend) int32 [Gl, 4, C].
+    """
+    Gl, C, Lc = useq.shape
+    FL = flank_l.shape[1]
+    lf = flank_l
+    rf = flank_r
+    q4 = jnp.stack([lf, dna.revcomp_jnp(lf, flank_ll),
+                    rf, dna.revcomp_jnp(rf, flank_rl)], axis=1)  # [Gl,4,FL]
+    ql4 = jnp.stack([flank_ll, flank_ll, flank_rl, flank_rl], axis=1)
+
+    q = jnp.broadcast_to(q4[:, :, None, :], (Gl, 4, C, FL)).reshape(-1, FL)
+    ql = jnp.broadcast_to(ql4[:, :, None], (Gl, 4, C)).reshape(-1)
+    t = jnp.broadcast_to(useq[:, None], (Gl, 4, C, Lc)).reshape(-1, Lc)
+    tl = jnp.broadcast_to(ulen[:, None], (Gl, 4, C)).reshape(-1)
+
+    qc = jnp.maximum(q, 0).astype(jnp.int8)
+    tc = jnp.maximum(t, 0).astype(jnp.int8)
+    tl1 = jnp.maximum(tl, 1)
+    if dims.use_pallas:
+        from ..ops.sw_pallas import sw_batch_pallas
+        score, qe, te = sw_batch_pallas(qc, jnp.maximum(ql, 1), tc, tl1,
+                                        BWA_PARAMS, "local")
+    else:
+        score, qe, te = sw_xla.sw_batch(qc, jnp.maximum(ql, 1), tc, tl1,
+                                        BWA_PARAMS, "local")
+    live = ((ql > 0) & (tl > 0)).reshape(Gl, 4, C)
+    shape = (Gl, 4, C)
+    z = jnp.zeros(shape, jnp.int32)
+    return (jnp.where(live, score.reshape(shape).astype(jnp.int32), z),
+            jnp.where(live, qe.reshape(shape).astype(jnp.int32), z),
+            jnp.where(live, te.reshape(shape).astype(jnp.int32), z))
+
+
+# ---------------------------------------------------------------------------
+# the fused one-jit step (benchmark / dryrun / single-chunk production)
+# ---------------------------------------------------------------------------
 
 def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
           name_hi, name_lo,
@@ -157,53 +331,29 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     N = dims.n_shards
     me = jax.lax.axis_index(axis)
 
-    # ---- classify my slice of the records (windows replicated) ---------
-    out = classify_reads(
+    # ---- block 1: classify my slice of the records ----------------------
+    entries, counts3 = _classify_extract(
         tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
-        wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
-        dist1=dims.dist1, dist2=dims.dist2, clip_dist=dims.clip_dist,
-        anchor_mapq=dims.anchor_mapq, short_insert=True,
-        fanout=dims.fanout)
-    counts = jax.lax.psum(jnp.stack(
-        [jnp.sum(out[k]).astype(jnp.int32)
-         for k in ("clip", "disc", "unmap")]), axis)
+        name_hi, name_lo,
+        wtid, wstart, wend, wgap, wedge, gap_start, gap_end, dims=dims)
+    counts = jax.lax.psum(counts3, axis)
 
-    # ---- route recruitment entries to their gap-home shard -------------
-    gap, side, hi, lo, hq, valid = _extract_entries(
-        out, mapq, name_hi, name_lo, dims)
-    (rgap, rside, rhi, rlo, rhq), _src, n_recv = dist.route_shard(
-        (gap, side, hi, lo, hq.astype(jnp.int32)),
-        dest=gap % N, valid=valid, axis=axis, n_shards=N,
-        out_cap=dims.entry_cap, impl=dims.route_impl)
+    # ---- block 2: route to gap-home shards, dedup/join, group ----------
+    rowtab, hqtab, n_reads, (n_raw_max, n_recv) = _route_and_group(
+        entries, tbl_hi, tbl_lo, tbl_row, tbl_side, dims=dims, axis=axis)
 
-    # ---- home-shard dedup + FASTQ join (tables replicated) -------------
-    g2, s2, row2, hq2, ok2 = dedup_and_join(
-        rgap, rside, rhi.astype(jnp.uint32), rlo.astype(jnp.uint32),
-        rhq.astype(bool), tbl_hi, tbl_lo, tbl_row, tbl_side)
-
-    # ---- group per local gap, gather read payloads ----------------------
-    rowtab, _hqtab, n_reads, n_raw_max = _group_rows(
-        g2, s2, row2, hq2, ok2, dims)
+    # ---- gather read payloads (read store replicated) -------------------
     Ntot = reads_tbl.shape[0]
     safe = jnp.clip(rowtab, 0, Ntot - 1)
     live = rowtab >= 0
     seq = jnp.where(live[..., None], reads_tbl[safe], dna.N)
     rlen = jnp.where(live, reads_len[safe], 0)
 
-    # ---- distinct k-mers + global spectrum histogram --------------------
-    acc, kstr, nk, kcnt, distinct = _distinct_kmers(seq, rlen, dims)
-    h = (acc[..., 0] >> 16) % HIST_BUCKETS
-    hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[
-        jnp.where(distinct, h, 0).reshape(-1)].add(
-        distinct.reshape(-1).astype(jnp.int32), mode="drop")
+    # ---- block 3: multi-k distinct k-mers + DBG assembly ----------------
+    useq, ulen, ucnt, hist, (o_nodes, o_edges, o_nk) = _assemble_block(
+        seq, rlen, dims)
     hist = jax.lax.psum(hist, axis)
 
-    # ---- per-gap DBG unitig assembly (local to the home shard) ----------
-    ncap = dims.effective_node_cap
-    useq, ulen, ucnt, nn_raw, ne_raw = dbg.assemble_unitigs(
-        kstr, nk, kcnt, k=dims.k, sub_k=dims.sub_k,
-        max_unitigs=dims.max_unitigs, max_len=dims.max_contig_len,
-        min_len=dims.min_contig_len, node_cap=ncap, edge_cap=ncap)
     # capacity indicators, pmax'd over the mesh (NEVER silent — see
     # check_overflow): raw node/edge counts (> effective_node_cap =
     # graph truncated), raw per-gap recruit max (> reads_per_gap =
@@ -212,30 +362,20 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     # (> entry_cap = recruit entries dropped BEFORE grouping — the
     # first truncation point in the chain)
     over = jax.lax.pmax(jnp.stack(
-        [jnp.max(nn_raw), jnp.max(ne_raw), n_raw_max,
-         jnp.max(nk, initial=0), n_recv[0]]).astype(jnp.int32), axis)
+        [o_nodes, o_edges, n_raw_max, o_nk, n_recv]).astype(jnp.int32),
+        axis)
 
-    # ---- flank pick scoring: both flanks vs the longest unitig ----------
+    # ---- block 4: flank pick scoring ------------------------------------
     # home = gap % N at local slot gap // N, so slot j holds gap me + j*N
     Gl = dims.gaps_per_shard
     myg = jnp.clip(me + jnp.arange(Gl) * N, 0, dims.n_gaps - 1)
-    best = jnp.argmax(ulen, axis=1)
-    t = useq[jnp.arange(Gl), best]
-    tl = ulen[jnp.arange(Gl), best]
-    trc = dna.revcomp_jnp(t, tl)   # unitig strand is canonical-arbitrary
-    q = jnp.concatenate([flank_l[myg], flank_r[myg]], axis=0)
-    ql = jnp.concatenate([flank_ll[myg], flank_rl[myg]])
-    t4 = jnp.concatenate([t, t, trc, trc], axis=0)
-    tl4 = jnp.concatenate([tl, tl, tl, tl])
-    q2 = jnp.concatenate([q, q], axis=0)
-    ql2 = jnp.concatenate([ql, ql])
-    score, _qe, _te = sw_xla.sw_batch(
-        q2, ql2, jnp.maximum(t4, 0).astype(jnp.int8),
-        jnp.maximum(tl4, 1), SWParams(), "local")
-    score = jnp.max(score.reshape(2, 2, Gl), axis=0)  # over strands
+    score, qend, tend = _pick_score_block(
+        useq, ulen, flank_l[myg], flank_r[myg], flank_ll[myg],
+        flank_rl[myg], dims)
 
-    return (jnp.concatenate([counts, over]), hist, n_recv, n_reads,
-            useq, ulen, ucnt, score.reshape(2, Gl).T)
+    n_recv_out = jnp.stack([n_recv])
+    return (jnp.concatenate([counts, over]), hist, n_recv_out, n_reads,
+            rowtab, hqtab, useq, ulen, ucnt, score, qend, tend)
 
 
 # _step's argument split: the first N_DP_ARGS are sharded along the
@@ -245,6 +385,7 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
 # place_args and the benches.
 N_DP_ARGS = 11
 N_REP_ARGS = 17
+N_OUT_DP = 10   # all outputs after (counts, hist) are per-shard
 
 
 def step_specs(mesh):
@@ -252,7 +393,7 @@ def step_specs(mesh):
     axes = tuple(mesh.axis_names)
     dp, rep = P(axes), P()
     return ((dp,) * N_DP_ARGS + (rep,) * N_REP_ARGS,
-            (rep, rep, dp, dp, dp, dp, dp, dp))
+            (rep, rep) + (dp,) * N_OUT_DP)
 
 
 def check_overflow(dims: SliceDims, counts) -> None:
@@ -262,7 +403,7 @@ def check_overflow(dims: SliceDims, counts) -> None:
     router's entry_cap (the first truncation point): callers need not
     inspect n_recv separately."""
     nodes, edges, raw_reads, nk, raw_recv = (int(x) for x in counts[3:8])
-    ncap = dims.effective_node_cap
+    ncap = min(dims.effective_node_cap(k) for k, _ in dims.kset)
     if raw_recv > dims.entry_cap:
         raise OverflowError(
             f"router receive capacity overflowed ({raw_recv} > "
@@ -300,10 +441,11 @@ def home_of(gap: np.ndarray, n_shards: int):
 
 def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
                  read_len: int = 48, step: int = 4, flank_len: int = 96,
-                 gap_len: int = 64, route_impl: str = "dense"):
+                 gap_len: int = 64, route_impl: str = "dense",
+                 kset=((17, 15),)):
     """Tiny planted scenario: G gaps on one scaffold, clipped reads
-    tiling each gap region so the DBG closes it; returns (dims, args,
-    in_shardings meta) ready for make_slice_step."""
+    tiling each gap region so the DBG closes it; returns (dims, args)
+    ready for make_slice_step."""
     from ..ops import intervals
     from ..ops.classify import build_gap_windows
 
@@ -358,7 +500,7 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
     reads_len = np.full(n_rec, read_len, np.int32)
     tbl_hi = np.zeros(n_rec, np.uint32)
     tbl_lo = np.arange(n_rec, dtype=np.uint32)
-    tbl_row = np.arange(n_rec, dtype=np.int32)
+    tbl_row = np.arange(n_rec, dtype=np.int32)   # global read-store rows
     tbl_side = np.zeros(n_rec, np.int32)
 
     win = build_gap_windows(jnp.zeros(G, jnp.int32), jnp.asarray(gs),
@@ -380,7 +522,7 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
         n_shards=n_shards, n_gaps=G, gaps_per_shard=gaps_per_shard,
         entry_cap=max(64, 4 * gaps_per_shard * reads_per_gap_actual),
         reads_per_gap=1 << (reads_per_gap_actual - 1).bit_length(),
-        n_left=n_rec,
+        kset=tuple(kset),
         # distinct k-mers per gap <= tiled region length (contiguous)
         max_distinct=1 << (2 * margin + gap_len).bit_length(),
         max_contig_len=1 << (gap_len + 2 * margin).bit_length(),

@@ -77,6 +77,24 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
                          rlen_j[:, lo:hi], 0)
         acc, cnt = _merge_chunk(chunk, clen, acc, cnt, k)
 
+    acc, cnt, distinct = filter_min_count(acc, cnt, min_count)
+
+    n = jnp.sum(distinct, axis=-1).astype(jnp.int32)
+    kstr = dbg.unpack_kmers_to_strings(acc, k)
+    n_np = np.asarray(n)
+    # capacity saturated => lexicographically-largest k-mers may have
+    # been dropped by the merge; caller must grow and retry (or warn)
+    saturated = n_np >= max_distinct
+    return np.asarray(kstr), n_np, np.asarray(cnt), saturated
+
+
+def filter_min_count(acc, cnt, min_count: int):
+    """Apply the min_kmer_count policy to a merged distinct-k-mer table
+    (pure jit; shared by this stage and the fused slice).
+
+    0 keeps everything (`kmc -ci0`, assemble_gaps.py:96-102); -1 is
+    the adaptive error filter; >1 a fixed cutoff. Returns
+    (acc, cnt, distinct) with survivors re-compacted to the front."""
     distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
     if min_count == -1:
         counts = jnp.where(distinct, cnt, 0)
@@ -101,14 +119,7 @@ def gap_distinct_kmers(reads, read_len, n_reads, k: int,
         acc, ex = kmers.sort_kmers(acc, [cnt])
         cnt = ex[0]
         distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
-
-    n = jnp.sum(distinct, axis=-1).astype(jnp.int32)
-    kstr = dbg.unpack_kmers_to_strings(acc, k)
-    n_np = np.asarray(n)
-    # capacity saturated => lexicographically-largest k-mers may have
-    # been dropped by the merge; caller must grow and retry (or warn)
-    saturated = n_np >= max_distinct
-    return np.asarray(kstr), n_np, np.asarray(cnt), saturated
+    return acc, cnt, distinct
 
 
 @jax.jit

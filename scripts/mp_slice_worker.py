@@ -43,8 +43,8 @@ dims, args = sl.example_data(n_shards, gaps_per_shard=1)
 step = sl.make_slice_step(mesh, dims)
 out = step(*sl.place_args_global(mesh, args))
 res = multihost_utils.process_allgather(out, tiled=True)
-counts, hist, n_recv, n_reads, useq, ulen, ucnt, scores = (
-    np.asarray(r) for r in res)
+(counts, hist, n_recv, n_reads, rowtab, hqtab, useq, ulen, ucnt,
+ scores, qend, tend) = (np.asarray(r) for r in res)
 
 if pid == 0:
     G, Gl = dims.n_gaps, dims.gaps_per_shard
@@ -62,7 +62,8 @@ if pid == 0:
                         dna.revcomp(useq[i, u, :L]))))
             per_gap[str(g)] = dict(
                 n_reads=int(n_reads[i]), contigs=sorted(contigs),
-                score=[int(x) for x in scores[i]])
+                score=[int(scores[i, 0:2].max()),
+                       int(scores[i, 2:4].max())])
     with open(out_path, "w") as f:
         json.dump(dict(counts=counts.tolist(), hist=hist.tolist(),
                        total_recv=int(n_recv.sum()),

@@ -26,8 +26,8 @@ def run_slice(n_shards: int, gaps_per_shard: int):
     dims, args = sl.example_data(n_shards, gaps_per_shard=gaps_per_shard)
     step = sl.make_slice_step(mesh, dims)
     out = step(*sl.place_args(mesh, args))
-    (counts, hist, n_recv, n_reads, useq, ulen, ucnt, scores) = (
-        np.asarray(o) for o in out)
+    (counts, hist, n_recv, n_reads, rowtab, hqtab, useq, ulen, ucnt,
+     scores, qend, tend) = (np.asarray(o) for o in out)
     G = dims.n_gaps
     Gl = dims.gaps_per_shard
     per_gap = {}
@@ -44,7 +44,9 @@ def run_slice(n_shards: int, gaps_per_shard: int):
                         dna.revcomp(useq[i, u, :L]))))
             per_gap[g] = dict(n_reads=int(n_reads[i]),
                               contigs=sorted(contigs),
-                              score=tuple(int(x) for x in scores[i]))
+                              # best flank score over strands+contigs
+                              score=(int(scores[i, 0:2].max()),
+                                     int(scores[i, 2:4].max())))
     assert set(per_gap) == set(range(G))
     return dict(counts=counts.tolist(), hist=hist.tolist(),
                 total_recv=int(n_recv.sum()), per_gap=per_gap)
