@@ -119,7 +119,11 @@ def _classify_extract(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     """Classify records against the gap windows and flatten the hits
     into recruitment entries (gap, side, hi, lo, hq, valid).
 
-    Sides are FASTQ-table keys: 2*dims.lib + (0 left / 1 right)."""
+    Sides are FASTQ-table keys: 2*dims.lib + (0 left / 1 right).
+    Also returns (mate_tid, mate_pos) aligned with the entries — valid
+    only in the disc third (clip/unmap thirds are filled with -1); the
+    host collect stage inverts these into the low-mapq pass-2 windows
+    (/root/reference/run_multi_threads_discordant.py:19-122)."""
     out = classify_reads(
         tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
         wtid, wstart, wend, wgap, wedge, gap_start, gap_end,
@@ -130,6 +134,7 @@ def _classify_extract(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
                          for k in ("clip", "disc", "unmap")])
 
     parts = []
+    neg = jnp.full_like(tid, -1)
     for kind, sidekey in (("clip", "side_self"), ("disc", "side_mate"),
                           ("unmap", "side_mate")):
         mask = out[kind]                       # [B, K]
@@ -139,11 +144,17 @@ def _classify_extract(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
         hi = jnp.broadcast_to(name_hi[:, None], (B, K))
         lo = jnp.broadcast_to(name_lo[:, None], (B, K))
         hq = jnp.broadcast_to((mapq == dims.hq_mapq)[:, None], (B, K))
+        mt = mtid if kind == "disc" else neg
+        mp = mpos if kind == "disc" else neg
+        mt = jnp.broadcast_to(mt[:, None], (B, K))
+        mp = jnp.broadcast_to(mp[:, None], (B, K))
         parts.append((gap.reshape(-1), side.reshape(-1), hi.reshape(-1),
-                      lo.reshape(-1), hq.reshape(-1), mask.reshape(-1)))
-    cat = tuple(jnp.concatenate([p[i] for p in parts]) for i in range(6))
-    gap, side, hi, lo, hq, valid = cat
-    return (gap, side, hi, lo, hq, valid & (gap >= 0)), counts3
+                      lo.reshape(-1), hq.reshape(-1), mask.reshape(-1),
+                      mt.reshape(-1), mp.reshape(-1)))
+    cat = tuple(jnp.concatenate([p[i] for p in parts]) for i in range(8))
+    gap, side, hi, lo, hq, valid, mt, mp = cat
+    return ((gap, side, hi, lo, hq, valid & (gap >= 0)), (mt, mp),
+            counts3)
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +343,7 @@ def _step(tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
     me = jax.lax.axis_index(axis)
 
     # ---- block 1: classify my slice of the records ----------------------
-    entries, counts3 = _classify_extract(
+    entries, _mates, counts3 = _classify_extract(
         tid, pos, flag, mapq, mtid, mpos, tlen, lclip, rclip,
         name_hi, name_lo,
         wtid, wstart, wend, wgap, wedge, gap_start, gap_end, dims=dims)

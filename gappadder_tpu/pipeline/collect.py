@@ -92,27 +92,27 @@ def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
     return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
 
 
-def classify_batch_sharded(mesh, args, static):
-    """Run classify_reads under shard_map: reads sharded along the
-    flattened mesh axes, window/gap tables replicated. Returns the same
-    outputs as classify_reads with the batch dimension restored."""
+def make_extract_step(dims, mesh=None):
+    """Jitted recruitment-entry extraction — THE SAME block the fused
+    slice runs (parallel/slice.py _classify_extract): classification +
+    entry flattening on device; with a mesh, records are sharded along
+    the flattened axes and tables replicated."""
     import functools
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel import slice as sl
 
+    fn = functools.partial(sl._classify_extract, dims=dims)
+    if mesh is None:
+        return jax.jit(fn), None
+    from jax.sharding import NamedSharding, PartitionSpec as P
     axes = tuple(mesh.axis_names)
-    dp = P(axes)
-    rep = P()
-    fn = functools.partial(classify.classify_reads, **static)
+    dp, rep = P(axes), P()
+    in_specs = (dp,) * 11 + (rep,) * 7
     sharded = jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(dp,) * 9 + (rep,) * 7,
-        out_specs={k: dp for k in ("widx", "gap", "clip", "disc", "unmap",
-                                   "side_self", "side_mate")},
-        check_vma=False))
-    placed = [jax.device_put(a, NamedSharding(mesh, s))
-              for a, s in zip(args, (dp,) * 9 + (rep,) * 7)]
-    return sharded(*placed)
+        fn, mesh=mesh, in_specs=in_specs,
+        out_specs=((dp,) * 6, (dp,) * 2, dp), check_vma=False))
+    shardings = [NamedSharding(mesh, s) for s in in_specs]
+    return sharded, shardings
 
 
 def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
@@ -155,15 +155,30 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                        "end": np.asarray(res[2]), "gap": np.asarray(res[3]),
                        "edge": np.asarray(res[4])})
 
-    # --- pass 1: classify all records in batches -------------------------
+    # --- pass 1: classify all records in batches through the fused
+    # slice's extraction block (parallel/slice.py _classify_extract) ------
     ent_gap, ent_side, ent_hash, ent_hq = [], [], [], []
     mate_tid, mate_pos, mate_gap = [], [], []
+
+    from ..parallel.slice import SliceDims
+    dims = SliceDims(
+        n_shards=1, n_gaps=max(G, 1), gaps_per_shard=max(G, 1),
+        entry_cap=1, reads_per_gap=1,
+        fanout=fanout, dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
+        anchor_mapq=cfg.anchor_mapq, hq_mapq=cfg.high_quality_mapq,
+        short_insert=short_insert, lib=0)
+    extract, shardings = make_extract_step(dims, mesh)
 
     B = cfg.tpu.read_batch
     if mesh is not None:
         m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         B = -(-B // m) * m           # shardable batch size
     n = aln.n
+    name_hash = np.asarray(aln.name_hash, np.uint64)
+    rep_args = (jnp.asarray(wp["tid"]), jnp.asarray(wp["start"]),
+                jnp.asarray(wp["end"]), jnp.asarray(wp["gap"]),
+                jnp.asarray(wp["edge"]),
+                jnp.asarray(gap_start), jnp.asarray(gap_end))
     for lo in range(0, n, B):
         hi = min(lo + B, n)
         sl = slice(lo, hi)
@@ -175,39 +190,39 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 a = np.concatenate([a, np.full(pad, fill, np.int32)])
             return jnp.asarray(a)
 
-        cls_args = (
-            col(tid, -2), col(aln.pos, -1), col(aln.flag), col(aln.mapq),
-            col(mtid, -2), col(aln.mpos, -1), col(aln.tlen),
-            col(aln.lclip), col(aln.rclip),
-            jnp.asarray(wp["tid"]), jnp.asarray(wp["start"]),
-            jnp.asarray(wp["end"]), jnp.asarray(wp["gap"]),
-            jnp.asarray(wp["edge"]),
-            jnp.asarray(gap_start), jnp.asarray(gap_end))
-        cls_static = dict(dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
-                          anchor_mapq=cfg.anchor_mapq,
-                          short_insert=short_insert, fanout=fanout)
-        if mesh is not None:
-            out = classify_batch_sharded(mesh, cls_args, cls_static)
-        else:
-            out = classify.classify_reads(*cls_args, **cls_static)
+        hash_c = name_hash[sl]
+        if pad:
+            hash_c = np.concatenate([hash_c, np.zeros(pad, np.uint64)])
+        args = (col(tid, -2), col(aln.pos, -1), col(aln.flag),
+                col(aln.mapq), col(mtid, -2), col(aln.mpos, -1),
+                col(aln.tlen), col(aln.lclip), col(aln.rclip),
+                jnp.asarray((hash_c >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((hash_c & np.uint64(0xFFFFFFFF)).astype(
+                    np.uint32))) + rep_args
+        if shardings is not None:
+            import jax
+            args = tuple(jax.device_put(a, s)
+                         for a, s in zip(args, shardings))
+        (eg, es, ehi, elo, ehq, ev), (emt, emp), _c3 = extract(*args)
 
-        m = hi - lo
-        gap_k = np.asarray(out["gap"])[:m]
-        for kind, sidekey in (("clip", "side_self"), ("disc", "side_mate"),
-                              ("unmap", "side_mate")):
-            mask = np.asarray(out[kind])[:m]
-            if not mask.any():
-                continue
-            rr, kk = np.nonzero(mask)
-            ent_gap.append(gap_k[rr, kk])
-            ent_side.append(np.asarray(out[sidekey])[:m][rr, kk])
-            ent_hash.append(aln.name_hash[sl][rr])
-            ent_hq.append(np.asarray(aln.mapq[sl], np.int32)[rr]
-                          == cfg.high_quality_mapq)
-            if kind == "disc":
-                mate_tid.append(np.asarray(mtid[sl], np.int32)[rr])
-                mate_pos.append(np.asarray(aln.mpos[sl], np.int32)[rr])
-                mate_gap.append(gap_k[rr, kk])
+        idx = np.flatnonzero(np.asarray(ev))
+        if not len(idx):
+            continue
+        eg = np.asarray(eg)[idx]
+        ent_gap.append(eg)
+        ent_side.append(np.asarray(es)[idx])
+        ent_hash.append((np.asarray(ehi)[idx].astype(np.uint64) <<
+                         np.uint64(32)) |
+                        np.asarray(elo)[idx].astype(np.uint64))
+        ent_hq.append(np.asarray(ehq)[idx].astype(bool))
+        # disc third: mate fields are -1-filled outside it, and valid
+        # disc entries always carry a mapped mate (mtid >= 0)
+        emt = np.asarray(emt)[idx]
+        dsel = emt >= 0
+        if dsel.any():
+            mate_tid.append(emt[dsel])
+            mate_pos.append(np.asarray(emp)[idx][dsel])
+            mate_gap.append(eg[dsel])
 
     # --- pass 2: low-mapq reads near discordant mate positions -----------
     if mate_tid and len(np.concatenate(mate_tid)):
