@@ -43,6 +43,10 @@ class TpuParams:
     gap_batch: int = 16              # gaps assembled per device batch
     gap_bucket_sizes: tuple[int, ...] = (1 << 10, 1 << 13, 1 << 16)
     use_pallas: bool = True          # fall back to pure-XLA kernels if False
+    fused: bool = True               # assembly via the fused device
+    #                                  dataplane (pipeline/fused.py ==
+    #                                  the benchmarked slice blocks);
+    #                                  False = host-glued oracle path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,6 +142,7 @@ def config_from_dict(data: dict[str, Any], base_dir: str = ".") -> Config:
         gap_bucket_sizes=tuple(tpu_raw.get("gap_bucket_sizes",
                                            TpuParams.gap_bucket_sizes)),
         use_pallas=bool(tpu_raw.get("use_pallas", True)),
+        fused=bool(tpu_raw.get("fused", True)),
     )
 
     kwargs: dict[str, Any] = {}

@@ -179,17 +179,32 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
             batch = gl[lo:lo + gb]
             padded = batch + [-1] * (gb - len(batch))  # fixed G shape
             Rcap = min(R, cap) if cap else R
-            seq, rlen, nreads = _pad_batch(padded, per_gap, readsets,
-                                           Rcap, L)
-            if mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-                seq = jax.device_put(seq, dp)
-                rlen = jax.device_put(rlen, dp)
-                nreads = jax.device_put(nreads, dp)
-            contigs = assemble.assemble_gap_batch(
-                cfg, seq, rlen, nreads, max_distinct=md_of[R])
+            if cfg.tpu.fused:
+                # the fused device dataplane: routing + grouping +
+                # multi-k assembly through the benchmarked slice blocks
+                from . import fused
+                m = mesh
+                if m is None:
+                    import jax
+                    from ..parallel.mesh import make_mesh
+                    m = make_mesh(shape=(1,), axes=("dp",),
+                                  devices=jax.devices()[:1])
+                contigs = fused.assemble_batch(
+                    cfg, m, padded, per_gap, readsets, Rcap, L,
+                    max_distinct=md_of[R])
+            else:
+                seq, rlen, nreads = _pad_batch(padded, per_gap, readsets,
+                                               Rcap, L)
+                if mesh is not None:
+                    import jax
+                    from jax.sharding import NamedSharding, \
+                        PartitionSpec as P
+                    dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+                    seq = jax.device_put(seq, dp)
+                    rlen = jax.device_put(rlen, dp)
+                    nreads = jax.device_put(nreads, dp)
+                contigs = assemble.assemble_gap_batch(
+                    cfg, seq, rlen, nreads, max_distinct=md_of[R])
             for i, g in enumerate(batch):
                 raw = [np.asarray(contigs.seq[i][j][:int(contigs.length[i][j])])
                        for j in range(int(contigs.count[i]))]
