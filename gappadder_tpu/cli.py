@@ -15,12 +15,6 @@ import os
 import shutil
 import sys
 
-from .config import load_config
-from .io import fasta
-from .pipeline import collect, patch, preprocess, run
-from .pipeline.workspace import Workspace, config_hash
-from .utils.meters import GLOBAL as METERS, device_trace
-
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gappadder-tpu",
@@ -38,7 +32,34 @@ def main(argv=None):
                         "marks them done for this config")
     p.add_argument("--trace", metavar="LOGDIR", default=None,
                    help="write a JAX profiler trace for device timelines")
+    p.add_argument("--coordinator", default=os.environ.get(
+        "GAPPADDER_DIST_COORD"), metavar="HOST:PORT",
+        help="jax.distributed coordinator; enables multi-process SPMD "
+             "execution of the pipeline (see parallel/mp.py)")
+    p.add_argument("--num-processes", type=int, default=int(os.environ.get(
+        "GAPPADDER_DIST_NPROCS", "0")))
+    p.add_argument("--process-id", type=int, default=int(os.environ.get(
+        "GAPPADDER_DIST_PROCID", "0")))
+    p.add_argument("--cpu-devices", type=int, default=int(os.environ.get(
+        "GAPPADDER_DIST_CPU_DEVICES", "0")),
+        help="with --coordinator: use the CPU backend with this many "
+             "virtual devices per process (gloo collectives; test path)")
     args = p.parse_args(argv)
+
+    # distributed init must precede the pipeline imports: module-level
+    # jnp constants initialize the backend, and platform/collective
+    # config only takes effect before that
+    from .parallel import mp
+    if args.coordinator:
+        mp.init_distributed(args.coordinator, args.num_processes,
+                            args.process_id,
+                            local_cpu_devices=args.cpu_devices)
+
+    from .config import load_config
+    from .io import fasta
+    from .pipeline import collect, patch, preprocess, run
+    from .pipeline.workspace import Workspace, config_hash
+    from .utils.meters import GLOBAL as METERS, device_trace
 
     # persistent compilation cache (remote TPU compiles take minutes)
     import jax
@@ -76,6 +97,7 @@ def main(argv=None):
                     write_parity_files=args.parity_files)
                 m["gaps"] = len(table["start"])
             print(f"[preprocess] {m['gaps']} gaps")
+            mp.barrier("preprocess")   # later stages read proc-0 writes
         if wants("Collect", "collect"):
             with METERS.stage("collect") as m:
                 rec, _ = collect.run_collect(
@@ -83,6 +105,7 @@ def main(argv=None):
                     write_parity_files=args.parity_files)
                 m["recruits"] = len(rec["gap"])
             print(f"[collect] {m['recruits']} recruited read assignments")
+            mp.barrier("collect")
         if wants("Assembly", "assembly"):
             with METERS.stage("assembly") as m:
                 fills, exts, _ = run.run_assembly_and_pick(cfg, ws,
@@ -92,6 +115,7 @@ def main(argv=None):
             print(f"[assembly] {m['closed']} gaps closed, "
                   f"{m['extended']} extended -> "
                   f"{ws.path('picked_seqs.fa')}")
+            mp.barrier("assembly")
         if cmd == "Evaluate":
             if not args.finished:
                 print("Evaluate needs --finished <genome.fa>",
@@ -105,10 +129,13 @@ def main(argv=None):
                 recs = patch.patch_scaffolds(genome, gaps, fills,
                                              margin=cfg.flank_margin)
                 out = ws.path("filled_scaffolds.fa")
-                fasta.write_fasta(out, recs)
+                if mp.is_primary():
+                    fasta.write_fasta(out, recs)
                 m["filled"] = len(fills)
             print(f"[patch] wrote {out} ({m['filled']} gaps filled)")
-    METERS.dump(ws.path("metrics.json"))
+            mp.barrier("patch")
+    if mp.is_primary():
+        METERS.dump(ws.path("metrics.json"))
     if cfg.verbose:
         print(METERS.report())
     return 0
@@ -118,8 +145,12 @@ def _evaluate(cfg, ws, finished_path):
     """statistic_rslt.py equivalent: extract gap truths from a finished
     genome and score the picked fills; writes hit_list.txt and
     closed_gap_length.txt in the reference's spirit."""
+    from .io import fasta
     from .tools import evaluate as ev
     from .pipeline.preprocess import gap_ids
+    from .parallel import mp
+    if not mp.is_primary():
+        return
     gaps = ws.load_arrays("gaps")
     finished = fasta.read_fasta(finished_path)
     truths = ev.extract_true_gap_seqs(
@@ -142,6 +173,7 @@ def _evaluate(cfg, ws, finished_path):
 def _fills_from_picked(ws, gaps):
     """Parse picked_seqs.fa (full closures only) back into fill codes."""
     import os
+    from .io import fasta
     path = ws.path("picked_seqs.fa")
     fills = {}
     if not os.path.exists(path):

@@ -200,28 +200,29 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 jnp.asarray((hash_c & np.uint64(0xFFFFFFFF)).astype(
                     np.uint32))) + rep_args
         if shardings is not None:
-            import jax
-            args = tuple(jax.device_put(a, s)
+            from ..parallel import mp as pmp
+            args = tuple(pmp.put_global(a, s)
                          for a, s in zip(args, shardings))
         (eg, es, ehi, elo, ehq, ev), (emt, emp), _c3 = extract(*args)
 
-        idx = np.flatnonzero(np.asarray(ev))
+        from ..parallel.mp import to_np
+        idx = np.flatnonzero(to_np(ev))
         if not len(idx):
             continue
-        eg = np.asarray(eg)[idx]
+        eg = to_np(eg)[idx]
         ent_gap.append(eg)
-        ent_side.append(np.asarray(es)[idx])
-        ent_hash.append((np.asarray(ehi)[idx].astype(np.uint64) <<
+        ent_side.append(to_np(es)[idx])
+        ent_hash.append((to_np(ehi)[idx].astype(np.uint64) <<
                          np.uint64(32)) |
-                        np.asarray(elo)[idx].astype(np.uint64))
-        ent_hq.append(np.asarray(ehq)[idx].astype(bool))
+                        to_np(elo)[idx].astype(np.uint64))
+        ent_hq.append(to_np(ehq)[idx].astype(bool))
         # disc third: mate fields are -1-filled outside it, and valid
         # disc entries always carry a mapped mate (mtid >= 0)
-        emt = np.asarray(emt)[idx]
+        emt = to_np(emt)[idx]
         dsel = emt >= 0
         if dsel.any():
             mate_tid.append(emt[dsel])
-            mate_pos.append(np.asarray(emp)[idx][dsel])
+            mate_pos.append(to_np(emp)[idx][dsel])
             mate_gap.append(eg[dsel])
 
     # --- pass 2: low-mapq reads near discordant mate positions -----------
@@ -396,7 +397,8 @@ def run_collect(cfg: Config, ws: Workspace,
     ws.save_arrays("both_unmapped", **bu)
     ws.mark_done("collect", config_hash(cfg), num_recruits=int(len(rec["gap"])))
 
-    if write_parity_files:
+    from ..parallel import mp
+    if write_parity_files and mp.is_primary():
         _write_gap_fastqs(cfg, ws, gaps, rec, readsets)
         _write_gap_fastqs(cfg, ws, gaps, rec, readsets,
                           subdir="merged/gap_reads_high_quality",

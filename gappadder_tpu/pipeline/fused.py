@@ -171,11 +171,12 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
         step = make_assemble_step(mesh, dims)
         dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
+        from ..parallel import mp
         over, n_reads, useq, ulen, ucnt = step(
-            jax.device_put(egap, dp), jax.device_put(erow, dp),
-            jax.device_put(ehq, dp),
-            jax.device_put(reads_tbl, rep),
-            jax.device_put(reads_len, rep))
+            mp.put_global(egap, dp), mp.put_global(erow, dp),
+            mp.put_global(ehq, dp),
+            mp.put_global(reads_tbl, rep),
+            mp.put_global(reads_len, rep))
         over = np.asarray(over)
         o_nodes, o_edges, _nraw, o_nk, _nrecv, o_ucnt, o_ulen = (
             int(x) for x in over)
@@ -219,10 +220,11 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
         break
 
     # ---- reassemble global order + compact + name -----------------------
-    n_reads = np.asarray(n_reads)
-    useq = np.asarray(useq)
-    ulen = np.asarray(ulen)
-    ucnt = np.asarray(ucnt)      # [Gb, S] per-setting counts
+    from ..parallel.mp import to_np
+    n_reads = to_np(n_reads)
+    useq = to_np(useq)
+    ulen = to_np(ulen)
+    ucnt = to_np(ucnt)           # [Gb, S] per-setting counts
     S = len(cfg.kmers)
     C = S * mu
     out_seq = np.full((Gb, C, useq.shape[2]), dna.N, np.int8)

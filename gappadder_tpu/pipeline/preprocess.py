@@ -60,11 +60,14 @@ def run_preprocess(cfg: Config, ws: Workspace | None = None,
     table["flank_right_len"] = np.asarray(right_len)
 
     if ws is not None:
+        from ..parallel import mp
         ws.save_arrays("gaps", **table)
         ws.save_json("scaffold_names", genome.names)
-        _write_gap_positions(ws.path("gap_positions.txt"), table, genome)
-        if write_parity_files:
-            _write_flank_fastas(ws.path("flank_regions"), table)
+        if mp.is_primary():
+            _write_gap_positions(ws.path("gap_positions.txt"), table,
+                                 genome)
+            if write_parity_files:
+                _write_flank_fastas(ws.path("flank_regions"), table)
         ws.mark_done("preprocess", config_hash(cfg), num_gaps=int(n))
     return table
 

@@ -339,6 +339,9 @@ def _write_picked(cfg, ws, gaps, fills, exts, contig_store=None):
     (<gap_id>_<contig> / <gap_id>_<l>_<r>_extended), plus
     picked_seqs.fa_ori.txt with the WHOLE winning contigs
     (pick_contigs.py:566-572 cats per-gap picked_contigs.fa there)."""
+    from ..parallel import mp
+    if not mp.is_primary():
+        return
     ids = gap_ids(gaps)
     recs = []
     for g, (seq, cname) in sorted(fills.items()):

@@ -18,6 +18,13 @@ import time
 import numpy as np
 
 
+def _primary() -> bool:
+    """Multi-process runs write checkpoints from process 0 only (the
+    host program is SPMD-identical; see parallel/mp.py)."""
+    from ..parallel import mp
+    return mp.is_primary()
+
+
 class Workspace:
     def __init__(self, root: str):
         self.root = root
@@ -32,6 +39,8 @@ class Workspace:
         return {"stages": {}}
 
     def mark_done(self, stage: str, config_hash: str, **extra) -> None:
+        if not _primary():
+            return
         m = self._load_manifest()
         m["stages"][stage] = {"config_hash": config_hash,
                               "time": time.time(), **extra}
@@ -52,6 +61,8 @@ class Workspace:
         return os.path.join(self.root, name)
 
     def save_arrays(self, name: str, **arrays) -> None:
+        if not _primary():
+            return
         np.savez_compressed(self.path(name + ".npz"), **arrays)
 
     def load_arrays(self, name: str) -> dict[str, np.ndarray]:
@@ -62,6 +73,8 @@ class Workspace:
         return os.path.exists(self.path(name + ".npz"))
 
     def save_json(self, name: str, obj) -> None:
+        if not _primary():
+            return
         with open(self.path(name + ".json"), "w") as fh:
             json.dump(obj, fh)
 
