@@ -56,6 +56,15 @@ def _load():
     lib.fastq_names_len.argtypes = [ctypes.c_void_p]
     lib.fastq_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.fastq_close.argtypes = [ctypes.c_void_p]
+    lib.fastq_scan_open.restype = ctypes.c_void_p
+    lib.fastq_scan_open.argtypes = [ctypes.c_char_p]
+    lib.fastq_scan_num.restype = ctypes.c_int64
+    lib.fastq_scan_num.argtypes = [ctypes.c_void_p]
+    lib.fastq_scan_max_len.restype = ctypes.c_int32
+    lib.fastq_scan_max_len.argtypes = [ctypes.c_void_p]
+    lib.fastq_scan_copy.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_void_p] * 6
+    lib.fastq_scan_close.argtypes = [ctypes.c_void_p]
     lib.bam_stream_open.restype = ctypes.c_void_p
     lib.bam_stream_open.argtypes = [ctypes.c_char_p]
     lib.bam_stream_refs_len.restype = ctypes.c_int64
@@ -184,6 +193,38 @@ def read_fastq_native(path: str):
     from .fastq import ReadSet
     return ReadSet(seq=seq, length=lens, qual=qual, name_hash=hashes,
                    names=names)
+
+
+def scan_fastq_native(path: str):
+    """Streaming offset scan (no payloads); dict of LazyReadSet fields
+    minus `path`, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.fastq_scan_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = int(lib.fastq_scan_num(h))
+        max_len = int(lib.fastq_scan_max_len(h))
+        hashes = np.empty(n, np.uint64)
+        lens = np.empty(n, np.int32)
+        seq_off = np.empty(n, np.int64)
+        qual_off = np.empty(n, np.int64)
+        name_off = np.empty(n, np.int64)
+        name_len = np.empty(n, np.int32)
+        lib.fastq_scan_copy(
+            h, hashes.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            seq_off.ctypes.data_as(ctypes.c_void_p),
+            qual_off.ctypes.data_as(ctypes.c_void_p),
+            name_off.ctypes.data_as(ctypes.c_void_p),
+            name_len.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.fastq_scan_close(h)
+    return dict(name_hash=hashes, length=lens, seq_off=seq_off,
+                qual_off=qual_off, name_off=name_off,
+                name_len=name_len, max_len=max_len)
 
 
 def _names_blob(names) -> tuple[bytes, np.ndarray]:

@@ -348,8 +348,16 @@ def run_collect(cfg: Config, ws: Workspace,
     readsets = []
     map_index = None
     for li, lib in enumerate(cfg.libraries):
-        left = read_fastq_any(lib.left_fq) if lib.left_fq else None
-        right = read_fastq_any(lib.right_fq) if lib.right_fq else None
+        if lib.bam:
+            # bounded memory: index the FASTQs (hashes + offsets only);
+            # payloads are mmap-gathered for recruited rows at assembly
+            left = fastq.scan_fastq(lib.left_fq) if lib.left_fq else None
+            right = fastq.scan_fastq(lib.right_fq) if lib.right_fq \
+                else None
+        else:
+            # self-mapping sweeps every payload — load eagerly
+            left = read_fastq_any(lib.left_fq) if lib.left_fq else None
+            right = read_fastq_any(lib.right_fq) if lib.right_fq else None
         readsets.append((left, right))
         if lib.bam:
             aln = read_bam_any(lib.bam)
@@ -436,8 +444,12 @@ def _write_gap_fastqs(cfg, ws, gaps, rec, readsets, subdir="merged/gap_reads",
                        and sides[j] == sides[i]):
                     j += 1
                 rs = readsets[libs[i]][sides[i]]
+                rows_w = rows[i:j]
+                if isinstance(rs, fastq.LazyReadSet):
+                    rs = rs.materialize(rows_w)
+                    rows_w = np.arange(j - i)
                 ok = native.write_fastq_native(
-                    fpath, rs, rows[i:j],
+                    fpath, rs, rows_w,
                     suffix="_1" if sides[i] == 0 else "_2", append=True)
                 if not ok:
                     raise IOError(f"native FASTQ write failed: {fpath}")

@@ -61,7 +61,7 @@ def _compact_store(batch, per_gap, readsets, R: int, L: int):
     for (li, side, row), idx in keys.items():
         rs = readsets[li][side]
         ln = min(int(rs.length[row]), L)
-        reads_tbl[idx, :ln] = rs.seq[row, :ln]
+        reads_tbl[idx, :ln] = rs.get_seq(row)[:ln]
         reads_len[idx] = ln
     return eg, er, reads_tbl, reads_len
 

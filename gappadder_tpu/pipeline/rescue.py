@@ -45,7 +45,7 @@ def _gather_reads(entries, readsets):
     for i, (li, s, r) in enumerate(entries):
         rs = readsets[li][s]
         ln = int(rs.length[r])
-        seq[i, :ln] = rs.seq[r, :ln]
+        seq[i, :ln] = rs.get_seq(r)[:ln]
         lens[i] = ln
     return seq, lens
 

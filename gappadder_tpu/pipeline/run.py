@@ -70,7 +70,7 @@ def _pad_batch(gap_indices, per_gap, readsets, R, L):
         for j, (li, side, row) in enumerate(rows):
             rs = readsets[li][side]
             ln = min(int(rs.length[row]), L)
-            seq[i, j, :ln] = rs.seq[row, :ln]
+            seq[i, j, :ln] = rs.get_seq(row)[:ln]
             rlen[i, j] = ln
     return seq, rlen, nreads
 
@@ -257,8 +257,8 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
         readsets = []
         for lib in cfg.libraries:
             readsets.append((
-                fastq.read_fastq(lib.left_fq) if lib.left_fq else None,
-                fastq.read_fastq(lib.right_fq) if lib.right_fq else None))
+                fastq.scan_fastq(lib.left_fq) if lib.left_fq else None,
+                fastq.scan_fastq(lib.right_fq) if lib.right_fq else None))
 
     per_gap = build_gap_read_arrays(rec, readsets, n_gaps)
     active = [g for g in range(n_gaps) if per_gap[g]]

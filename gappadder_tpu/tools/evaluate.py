@@ -257,7 +257,7 @@ def discordant_alignment_stats(rec, readsets, truths, gaps):
         for i, (li, s, r) in enumerate(rows):
             rs = readsets[li][s]
             ln = int(rs.length[r])
-            qa[i, :ln] = rs.seq[r, :ln]
+            qa[i, :ln] = rs.get_seq(r)[:ln]
             ql[i] = ln
         ta = np.tile(np.asarray(truth, np.int8), (len(rows), 1))
         tl = np.full(len(rows), len(truth), np.int32)

@@ -477,6 +477,104 @@ void* fastq_open(const char* path) {
   return d;
 }
 
+// ---- streaming FASTQ scan: name hashes + byte offsets ONLY -----------
+// Bounded-memory collect (pipeline/collect.py): the whole-file decode
+// above holds every payload; this scan streams the file through a 4MB
+// buffer and records, per read, the FNV-1a name hash plus byte offsets
+// of the sequence/quality/name regions, so payloads can be gathered
+// lazily (mmap) for just the recruited rows. Replaces the reference's
+// whole-FASTQ dispatch scan
+// (/root/reference/run_multi_threads_discordant.py:141-317).
+struct FastqScan {
+  int64_t n = 0;
+  int32_t max_len = 1;
+  std::vector<uint64_t> hashes;
+  std::vector<int32_t> lens, name_len;
+  std::vector<int64_t> seq_off, qual_off, name_off;
+};
+
+void* fastq_scan_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* d = new FastqScan();
+  std::vector<uint8_t> buf(1 << 22);
+  std::string line;
+  int64_t base = 0, line_start = 0;
+  int phase = 0;
+  auto handle = [&](int64_t start, const std::string& s) {
+    size_t len = s.size();
+    if (len && s[len - 1] == '\r') --len;
+    switch (phase) {
+      case 0: {
+        const char* nm = s.data();
+        size_t nl = len;
+        int64_t noff = start;
+        if (nl && nm[0] == '@') { ++nm; --nl; ++noff; }
+        size_t norm = normalize(nm, nl);
+        d->hashes.push_back(fnv1a(nm, norm));
+        d->name_off.push_back(noff);
+        d->name_len.push_back(static_cast<int32_t>(norm));
+        break;
+      }
+      case 1:
+        d->seq_off.push_back(start);
+        d->lens.push_back(static_cast<int32_t>(len));
+        if (static_cast<int32_t>(len) > d->max_len)
+          d->max_len = static_cast<int32_t>(len);
+        break;
+      case 3:
+        d->qual_off.push_back(start);
+        break;
+    }
+    phase = (phase + 1) & 3;
+  };
+  size_t got;
+  while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+    size_t i = 0;
+    while (i < got) {
+      size_t j = i;
+      while (j < got && buf[j] != '\n') ++j;
+      line.append(reinterpret_cast<char*>(&buf[i]), j - i);
+      if (j < got) {
+        handle(line_start, line);
+        line.clear();
+        line_start = base + static_cast<int64_t>(j) + 1;
+        i = j + 1;
+      } else {
+        i = j;
+      }
+    }
+    base += static_cast<int64_t>(got);
+  }
+  if (!line.empty()) handle(line_start, line);
+  fclose(f);
+  size_t n = d->hashes.size();
+  n = std::min(n, d->lens.size());
+  n = std::min(n, d->qual_off.size());
+  d->n = static_cast<int64_t>(n);
+  return d;
+}
+
+int64_t fastq_scan_num(void* h) { return static_cast<FastqScan*>(h)->n; }
+int32_t fastq_scan_max_len(void* h) {
+  return static_cast<FastqScan*>(h)->max_len;
+}
+
+void fastq_scan_copy(void* h, uint64_t* hashes, int32_t* lens,
+                     int64_t* seq_off, int64_t* qual_off,
+                     int64_t* name_off, int32_t* name_len) {
+  auto* d = static_cast<FastqScan*>(h);
+  size_t n = static_cast<size_t>(d->n);
+  memcpy(hashes, d->hashes.data(), n * 8);
+  memcpy(lens, d->lens.data(), n * 4);
+  memcpy(seq_off, d->seq_off.data(), n * 8);
+  memcpy(qual_off, d->qual_off.data(), n * 8);
+  memcpy(name_off, d->name_off.data(), n * 8);
+  memcpy(name_len, d->name_len.data(), n * 4);
+}
+
+void fastq_scan_close(void* h) { delete static_cast<FastqScan*>(h); }
+
 int64_t fastq_num(void* h) { return static_cast<FastqDecoded*>(h)->n; }
 int32_t fastq_max_len(void* h) {
   return static_cast<FastqDecoded*>(h)->max_len;

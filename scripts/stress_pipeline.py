@@ -1,12 +1,22 @@
 """Whole-pipeline stress run on a synthetic draft (BASELINE config 3
 shape, scaled down): N scaffolds, many gaps, one PE library.
 
-Usage: python scripts/stress_pipeline.py [n_gaps] [scaffold_kb] [--cpu]
-Prints per-stage timings, closure rate, and gaps/s.
+Usage:
+  python scripts/stress_pipeline.py [n_gaps] [scaffold_kb] [--cpu]
+      [--dir=PATH] [--sim-only | --run-only]
+
+Default runs simulate + pipeline in one process. For honest peak-RSS
+measurement of the PIPELINE (VERDICT r2 missing #4: bounded-memory
+collect), split phases: `--dir=D --sim-only` writes the scenario to D,
+then a fresh process with `--dir=D --run-only` runs the pipeline — its
+ru_maxrss excludes the simulator's own memory spike.
+
+Prints per-stage timings, closure rate, gaps/s, and peak RSS.
 """
 
 import os
 import pathlib
+import resource
 import sys
 import tempfile
 import time
@@ -20,29 +30,10 @@ sys.path.insert(0, str(_ROOT / "tests"))
 import numpy as np
 
 
-def main():
-    import jax
-    if "--cpu" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")
-        sys.argv.remove("--cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          str(_ROOT / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    n_gaps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    scaf_kb = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-
-    from gappadder_tpu import dna
-    from gappadder_tpu.config import Config, Library, TpuParams
+def simulate(tmp, n_gaps, scaf_kb, rng):
     from gappadder_tpu.io import bam as bam_io, fasta
-    from gappadder_tpu.pipeline import collect, patch, preprocess, run
-    from gappadder_tpu.pipeline.workspace import Workspace
     import read_simulator
 
-    rng = np.random.default_rng(0)
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="gpt_stress_"))
     n_scaf = max(1, n_gaps // 8)
     gaps_per_scaf = n_gaps // n_scaf
     L = scaf_kb * 1000
@@ -63,9 +54,10 @@ def main():
         drafts.append("".join(d))
         spans_all.append(spans)
 
-    draft_path = str(tmp / "draft.fa")
-    fasta.write_fasta(draft_path, [(f"scaf{i}", d)
-                                   for i, d in enumerate(drafts)])
+    fasta.write_fasta(str(tmp / "draft.fa"),
+                      [(f"scaf{i}", d) for i, d in enumerate(drafts)])
+    fasta.write_fasta(str(tmp / "truth.fa"),
+                      [(f"scaf{i}", t) for i, t in enumerate(truths)])
 
     t0 = time.time()
     all_recs, lfq, rfq = [], [], []
@@ -82,9 +74,8 @@ def main():
         lfq += [(f"s{si}_{n}", s) for n, s in lf]
         rfq += [(f"s{si}_{n}", s) for n, s in rf]
     all_recs.sort(key=lambda r: (r["tid"], r["pos"]))
-    bam_path = str(tmp / "lib.bam")
-    bam_io.write_bam(bam_path, [(f"scaf{i}", L) for i in range(n_scaf)],
-                     all_recs)
+    bam_io.write_bam(str(tmp / "lib.bam"),
+                     [(f"scaf{i}", L) for i in range(n_scaf)], all_recs)
     for path, entries in ((tmp / "l.fq", lfq), (tmp / "r.fq", rfq)):
         with open(path, "w") as fh:
             for name, seq in entries:
@@ -92,15 +83,25 @@ def main():
     print(f"simulate: {time.time()-t0:.1f}s "
           f"({len(all_recs)} records, {n_gaps} gaps)")
 
+
+def run_pipeline(tmp):
+    from gappadder_tpu import dna
+    from gappadder_tpu.config import Config, Library, TpuParams
+    from gappadder_tpu.io import fasta
+    from gappadder_tpu.pipeline import collect, preprocess, run
+    from gappadder_tpu.pipeline.workspace import Workspace
+
     cfg = Config(
-        draft_genome=draft_path, min_gap_size=50, flank_length=150,
+        draft_genome=str(tmp / "draft.fa"), min_gap_size=50,
+        flank_length=150,
         working_folder=str(tmp / "work"), kmers=((25, 21), (31, 27)),
-        libraries=(Library(bam=bam_path, insert_size=300, std=30,
-                           left_fq=str(tmp / "l.fq"),
+        libraries=(Library(bam=str(tmp / "lib.bam"), insert_size=300,
+                           std=30, left_fq=str(tmp / "l.fq"),
                            right_fq=str(tmp / "r.fq")),),
         tpu=TpuParams(read_batch=1 << 15))
     ws = Workspace(cfg.workdir)
-    genome = fasta.read_fasta(draft_path)
+    genome = fasta.read_fasta(cfg.draft_genome)
+    truth = fasta.read_fasta(str(tmp / "truth.fa"))
 
     t0 = time.time()
     gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
@@ -116,18 +117,54 @@ def main():
     print(f"assembly+pick: {t3-t2:.1f}s "
           f"({len(fills)} closed, {len(exts)} extended)")
 
-    # verify closures against truth
     ok = 0
     for g, (seq, _name) in fills.items():
         si = int(gaps["scaffold"][g])
         gs = int(gaps["local_start"][g])
         ge = int(gaps["local_end"][g])
-        want = truths[si][gs - cfg.flank_margin: ge + cfg.flank_margin]
+        t = truth.scaffold(si)
+        margin = cfg.flank_margin
+        want = dna.decode(t[gs - margin: ge + margin])
         if dna.decode(seq) == want:
             ok += 1
     n = len(gaps["start"])
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"closure: {len(fills)}/{n} picked, {ok}/{n} bit-exact, "
-          f"{n/(t3-t1):.2f} gaps/s end-to-end")
+          f"{n/(t3-t1):.2f} gaps/s end-to-end, peak RSS {rss_gb:.2f} GB")
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        sys.argv.remove("--cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(_ROOT / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    sim_only = "--sim-only" in sys.argv
+    run_only = "--run-only" in sys.argv
+    tmp = None
+    for a in list(sys.argv[1:]):
+        if a.startswith("--dir="):
+            tmp = pathlib.Path(a.split("=", 1)[1])
+            sys.argv.remove(a)
+    for flag in ("--sim-only", "--run-only"):
+        if flag in sys.argv:
+            sys.argv.remove(flag)
+    n_gaps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    scaf_kb = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+
+    if tmp is None:
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="gpt_stress_"))
+    tmp.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    if not run_only:
+        simulate(tmp, n_gaps, scaf_kb, rng)
+    if not sim_only:
+        run_pipeline(tmp)
 
 
 if __name__ == "__main__":

@@ -140,7 +140,7 @@ def _rec_to_maps(gaps, rec, readsets):
     for g, side, li, row, hq in zip(rec["gap"], rec["side"], rec["lib"],
                                     rec["row"], rec["hq"]):
         rs = readsets[li][side]
-        name = rs.names[row].decode()
+        name = rs.get_name(row).decode()
         key = (int(gaps["scaffold"][g]), int(gaps["number"][g]))
         mp = left_map if side == 0 else right_map
         mp.setdefault(name, set()).add(key)
