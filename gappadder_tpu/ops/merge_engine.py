@@ -61,14 +61,14 @@ class MergeConfig:
     min_overlap_len_scaffold: int = 6  # -z default
     kmer_len: int = 10              # -k
     min_support_kmer: int = 1       # -m
-    window: int = 1000              # quick-check end-window size
+    window: int = 1000              # dedup sketch window size
     max_paths_per_gap: int = 32
-    max_path_nodes: int = 64        # MAX_CONTIGS_IN_PATH analog
     dedup_cutoff: float = 0.99      # MergeContigs.py:73-99
     # DP-bill bounds on fragmented inputs (warn loudly when they bite;
-    # the reference pays the full O(n^2) pair DP instead)
-    max_candidates: int = 2048
-    max_out_edges: int = 4
+    # the reference pays the full O(n^2) pair DP instead). Defaults
+    # keep reference-exact behavior: max_out_edges=0 = unbounded.
+    max_candidates: int = 4096
+    max_out_edges: int = 0
 
 
 def _kmer_hashes(seq: np.ndarray, k: int) -> np.ndarray:
@@ -164,33 +164,140 @@ def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     return [i for i in range(n) if keep[i]]
 
 
-def _significant(score, qlen, tlen, qe, te, cfg: MergeConfig):
-    """IsScoreSignificant + edge direction; returns None or
-    ('12'|'21', overlap_len)."""
-    c1 = qlen - qe
-    c2 = tlen - te
-    nclip = min(c1, c2)
-    if nclip > cfg.max_clip_len:
-        return None
-    ov0 = min(qlen, tlen)
-    ov1 = te if c1 <= c2 else ov0      # row end hit: overlap = colStart
-    ov2 = qe if c2 <= c1 else ov0
-    ov = min(ov0, ov1, ov2)
-    if ov < qlen * cfg.min_frac_overlap and ov < tlen * cfg.min_frac_overlap:
-        return None
-    # containment rejection (>=5bp extension required)
-    if c1 <= c2 and te + 5 - 1 >= tlen:
-        return None
-    if c2 <= c1 and qe + 5 - 1 >= qlen:
-        return None
-    if score < ov * (1.0 - cfg.frac_score_loss):
-        return None
-    if ov < cfg.min_overlap_len:       # < -x: not a contig-contig merge
-        return None
-    # direction: suffix of seq1 onto prefix of seq2 => A then B
-    if c1 <= c2:
-        return ("12", ov)
-    return ("21", ov)
+# Evaluate return codes (ContigsCompactor.cpp:1566-1570)
+OVERLAP_SMALLER = 0
+OVERLAP_IN_RANGE = 1
+OVERLAP_LARGER_MINLEN = 2
+
+
+@dataclasses.dataclass
+class EvalResult:
+    """One pair evaluation (reference Evaluate semantics)."""
+    code: int
+    score: int
+    pos_row: int        # DP end row (bases of seq1 consumed)
+    pos_col: int        # DP end col (bases of seq2 consumed)
+    nclip: int          # winning end-clip c
+    bcontained: bool    # traceback reached the start of the ending seq
+    is_containment: bool  # the (weaker) edge-veto condition
+    merged: np.ndarray  # SetMergedStringConcat result (empty on code 0)
+
+    def overlap_size(self, sz1: int, sz2: int) -> int:
+        # GetOverlapSize (ContigsCompactor.h:51)
+        return sz1 + sz2 - self.nclip - len(self.merged)
+
+
+def _overlap_H(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Reference Evaluate DP: free start on both sequences, linear
+    gaps, raw character equality (N matches N — ContigsCompactor.cpp
+    :1640-1644 compares chars directly). Anti-diagonal vectorized."""
+    q = np.asarray(s1, np.int64)
+    t = np.asarray(s2, np.int64)
+    n, m = len(q), len(t)
+    mm = MERGE_PARAMS.mismatch
+    ind = -MERGE_PARAMS.gap_open       # linear indel (-i2)
+    H = np.zeros((n + 1, m + 1), np.int64)
+    for d in range(2, n + m + 1):
+        ilo = max(1, d - m)
+        ihi = min(n, d - 1)
+        if ilo > ihi:
+            continue
+        i = np.arange(ilo, ihi + 1)
+        j = d - i
+        s = np.where(q[i - 1] == t[j - 1], MERGE_PARAMS.match, mm)
+        H[i, j] = np.maximum(H[i - 1, j - 1] + s,
+                             np.maximum(H[i - 1, j] + ind,
+                                        H[i, j - 1] + ind))
+    return H
+
+
+def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
+                  relax: bool = False) -> EvalResult:
+    """EXACT reference pair evaluation (ContigsCompactor::Evaluate,
+    ContigsCompactor.cpp:1572-1874 + IsScoreSignificant :1876-1976):
+    one DP per unordered pair; the best clipped border cell (scanned
+    c = 0..max_clip_len, column before row, ascending index, strict
+    improvement) decides direction, ends, containment and the merged
+    string; relax skips the significance check (FormMergedSeqFromPath
+    mode)."""
+    H = _overlap_H(s1, s2)
+    n, m = len(s1), len(s2)
+    best = -(1 << 60)
+    pr = pc = nc = -1
+    for c in range(cfg.max_clip_len + 1):
+        icol = m - c
+        if icol >= 0:
+            i = int(np.argmax(H[:, icol]))      # first max = lowest row
+            if int(H[i, icol]) > best:
+                best, pr, pc, nc = int(H[i, icol]), i, icol, c
+        irow = n - c
+        if irow >= 0:
+            j = int(np.argmax(H[irow, :]))
+            if int(H[irow, j]) > best:
+                best, pr, pc, nc = int(H[irow, j]), irow, j, c
+
+    code = OVERLAP_LARGER_MINLEN
+    if not relax:
+        ov0 = min(n, m)
+        ov1 = pc if pr + nc == n else ov0
+        ov2 = pr if pc + nc == m else ov0
+        ov = min(ov0, ov1, ov2)
+        if ov < n * cfg.min_frac_overlap and ov < m * cfg.min_frac_overlap:
+            code = OVERLAP_SMALLER
+        elif pr + nc == n and pc + 5 - 1 >= m:
+            code = OVERLAP_SMALLER            # no >=5bp extension
+        elif pc + nc == m and pr + 5 - 1 >= n:
+            code = OVERLAP_SMALLER
+        elif best < ov * (1.0 - cfg.frac_score_loss):
+            code = OVERLAP_SMALLER
+        elif ov < cfg.min_overlap_len_scaffold:
+            code = OVERLAP_SMALLER
+        elif ov < cfg.min_overlap_len:
+            code = OVERLAP_IN_RANGE
+        if code == OVERLAP_SMALLER:           # early return, no traceback
+            return EvalResult(code, best, pr, pc, nc, False, False,
+                              np.zeros(0, np.int8))
+
+    # ---- traceback start -> bcontained ----------------------------------
+    # (only the walk's endpoint matters: the reference's
+    # traceback-merged string is DEAD CODE — SetMergedString is
+    # commented out at ContigsCompactor.cpp:1847; GetMerged() returns
+    # the SetMergedStringConcat form below)
+    i, j = pr, pc
+    mm = MERGE_PARAMS.mismatch
+    ind = -MERGE_PARAMS.gap_open
+    while i > 0 and j > 0:
+        s = MERGE_PARAMS.match if s1[i - 1] == s2[j - 1] else mm
+        d = H[i - 1, j - 1] + s
+        u = H[i - 1, j] + ind
+        lf = H[i, j - 1] + ind
+        # stored pointer preference: diag unless up strictly greater
+        # unless left strictly greater (ContigsCompactor.cpp:1695-1711)
+        if lf > max(d, u):
+            j -= 1
+        elif u > d:
+            i -= 1
+        else:
+            i -= 1
+            j -= 1
+    bcontained = (pr + nc == n and i == 0) or (pc + nc == m and j == 0)
+    # edge-veto containment (IsContainment, ContigsCompactor.cpp:
+    # 155-159): deliberately weaker — a prefix-contained seq1 with
+    # posColEnd == len1 does NOT veto the edge (len1 < posColEnd fails)
+    is_containment = bcontained and (
+        (pr + nc == n and n < pc) or (pc + nc == m and m < pr))
+
+    # ---- merged string = SetMergedStringConcat (:108-153) ---------------
+    if bcontained and pr + nc == n and n < m:
+        merged = np.asarray(s2, np.int8)
+    elif bcontained and pc + nc == m and m < n:
+        merged = np.asarray(s1, np.int8)
+    elif pr + nc == n:
+        merged = np.concatenate([s1[:n - nc], s2[pc:]]).astype(np.int8)
+    else:
+        merged = np.concatenate([s2[:m - nc], s1[pr:]]).astype(np.int8)
+    return EvalResult(code, best, pr, pc, nc, bcontained,
+                      is_containment, merged)
 
 
 def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
@@ -201,101 +308,106 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     n = len(contigs)
     if n == 0:
         return [], []
-    nodes = list(contigs) + [dna.revcomp(c) for c in contigs]
+    # node order INTERLEAVED like the reference (contig then its twin:
+    # ContigsCompactor.cpp:794-799) — the set<Node*> orderings that
+    # drive candidate picks and revcomp-path dedup follow creation
+    # order, so parity requires the same numbering. Twin of v = v ^ 1.
+    nodes: list[np.ndarray] = []
+    for c in contigs:
+        nodes.append(np.asarray(c, np.int8))
+        nodes.append(dna.revcomp(c))
     N = len(nodes)
     k = cfg.kmer_len
-    heads = np.stack([_sketch(s[:cfg.window], k) for s in nodes])
-    tails = np.stack([_sketch(s[-cfg.window:], k) for s in nodes])
-    shared = _shared_matrix(tails, heads)
-    same = np.arange(N)[:, None] % n == np.arange(N)[None, :] % n
-    cmat = (shared >= cfg.min_support_kmer) & ~same
-    cand = [(int(a), int(b)) for a, b in zip(*np.nonzero(cmat))]
-    if not cand:
+
+    # reference quick check (QuickCheckerContigsMatch, :1982-2096):
+    # pair (i, j) is feasible when ANY k-mer of seq j's first or last
+    # 30 bp occurs ANYWHERE in seq i. Pairs enumerated i <= j in
+    # lexicographic order (runMultiThreadChecker); i == j always ends
+    # in containment, so it is skipped here.
+    WIN = 30
+    whole = [set(_kmer_hashes(s, k).tolist()) for s in nodes]
+    wins = []
+    for s in nodes:
+        w = set(_kmer_hashes(s[:WIN], k).tolist())
+        w |= set(_kmer_hashes(s[-WIN:], k).tolist())
+        wins.append(w)
+    pairs = [(i, j) for i in range(N) for j in range(i + 1, N)
+             if wins[j] & whole[i]]
+    if not pairs:
         return [], []
-    # bound the DP bill on fragmented inputs: keep the highest-support
-    # candidates (deterministic: support desc, then pair index)
-    if len(cand) > cfg.max_candidates:
+    if len(pairs) > cfg.max_candidates:
         log.warn_cap(
             "merge_candidates_truncated",
             "overlap-candidate screen kept %d of %d pairs "
-            "(max_candidates); lowest k-mer-support pairs dropped",
-            cfg.max_candidates, len(cand))
-        cand.sort(key=lambda ab: (-int(shared[ab[0], ab[1]]), ab))
-        cand = sorted(cand[:cfg.max_candidates])
+            "(max_candidates); later pairs dropped — raise "
+            "max_candidates for reference-exact behavior",
+            cfg.max_candidates, len(pairs))
+        pairs = pairs[:cfg.max_candidates]
 
-    qs = [nodes[a] for a, _ in cand]
-    ts = [nodes[b] for _, b in cand]
-    s, qe, te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
-                             end_slack=cfg.max_clip_len)
+    # device screen: batched overlap scores upper-bound the exact
+    # evaluation; pairs that cannot reach the minimum significant
+    # score skip the host DP (the reference pays the full DP per pair)
+    qs = [nodes[a] for a, _ in pairs]
+    ts = [nodes[b] for _, b in pairs]
+    s, _qe, _te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
+                               end_slack=cfg.max_clip_len)
+    floor = int(np.ceil(cfg.min_overlap_len_scaffold *
+                        (1.0 - cfg.frac_score_loss)))
 
-    raw_edges = {}
-    for (a, b), sc, q_e, t_e in zip(cand, s, qe, te):
-        sig = _significant(int(sc), len(nodes[a]), len(nodes[b]),
-                           int(q_e), int(t_e), cfg)
-        if sig is None:
+    # one exact evaluation per unordered pair; the winning end decides
+    # the direction (threadMergeContigV2, ContigsCompactor.cpp:623-693)
+    edges: dict[tuple[int, int], tuple[int]] = {}
+    adj: dict[int, list[int]] = {}
+    truncated_out = 0
+    for (a, b), sc in zip(pairs, s):
+        if int(sc) < floor:
             continue
-        mode, ov = sig
-        key = (a, b) if mode == "12" else (b, a)
-        if key not in raw_edges or ov > raw_edges[key][0]:
-            raw_edges[key] = (ov, mode, int(q_e), int(t_e), a, b)
-    if not raw_edges:
-        return [], []
-
-    # keep only the best few outgoing edges per node before paying for
-    # host tracebacks (fragmented inputs otherwise create dense graphs)
-    by_src: dict[int, list] = {}
-    for (u, v), info in raw_edges.items():
-        by_src.setdefault(u, []).append((info[0], v, info))
-    edges = {}
-    for u, lst in by_src.items():
-        lst.sort(key=lambda x: (-x[0], x[1]))
-        if len(lst) > cfg.max_out_edges:
-            log.warn_cap(
-                "merge_out_edges_truncated",
-                "merge graph node kept %d of %d outgoing overlap edges "
-                "(max_out_edges); smallest overlaps dropped",
-                cfg.max_out_edges, len(lst))
-        for ov, v, (o, mode, q_e, t_e, a, b) in lst[:cfg.max_out_edges]:
-            if mode == "12":
-                qstart, _, _ = sw_host.alignment_stats(
-                    nodes[a], nodes[b], MERGE_PARAMS, "overlap", q_e, t_e)
-                edges[(u, v)] = (o, qstart)
-            else:
-                tstart = sw_host.traceback(nodes[a], nodes[b], MERGE_PARAMS,
-                                           "overlap", q_e, t_e)[1]
-                edges[(u, v)] = (o, tstart)
+        r = evaluate_pair(nodes[a], nodes[b], cfg)
+        if r.code != OVERLAP_LARGER_MINLEN or r.is_containment:
+            continue
+        ovsz = r.overlap_size(len(nodes[a]), len(nodes[b]))
+        if r.pos_row + r.nclip == len(nodes[a]):
+            u, v = a, b                      # MODE_1_2: seq1 first
+        else:
+            u, v = b, a                      # MODE_2_1
+        lst = adj.setdefault(u, [])
+        if cfg.max_out_edges and len(lst) >= cfg.max_out_edges:
+            truncated_out += 1
+            continue
+        lst.append(v)
+        edges[(u, v)] = (ovsz,)
+    if truncated_out:
+        log.warn_cap(
+            "merge_out_edges_truncated",
+            "merge graph dropped %d outgoing overlap edge(s) beyond "
+            "max_out_edges=%d — set max_out_edges=0 for "
+            "reference-exact behavior", truncated_out, cfg.max_out_edges)
 
     if not edges:
         return [], []
 
-    paths = enumerate_paths(N, edges, cfg)
+    paths = enumerate_paths(N, edges, cfg, adj=adj)
 
     def splice(p):
-        """Merged sequence: at each edge keep the upstream prefix up to
-        the overlap start, then all of the downstream contig (the
-        reference keeps seq2's characters in the overlap,
-        FormMergedSeqFromPath, ContigsCompactor.cpp:1456-1515)."""
+        """FormMergedSeqFromPath (ContigsCompactor.cpp:1456-1515):
+        re-evaluate left-to-right in relax mode; the merged string is
+        the traceback merge of the running sequence with the next."""
         seq = nodes[p[0]]
-        for a, b in zip(p, p[1:]):
-            _, qstart = edges[(a, b)]
-            offset = len(seq) - len(nodes[a])  # a is the suffix of seq
-            seq = np.concatenate([seq[:offset + qstart], nodes[b]])
+        for b_ in p[1:]:
+            seq = evaluate_pair(seq, nodes[b_], cfg, relax=True).merged
         return seq
 
-    merged, infos, seen = [], [], set()
+    merged, infos = [], []
     for path in paths:
+        if len(path) <= 1:
+            continue                    # reference emits len>1 only
         if len(merged) >= cfg.max_paths_per_gap:
             log.warn_cap(
                 "merge_paths_truncated",
                 "max_paths_per_gap=%d reached; %d merged path(s) "
                 "dropped", cfg.max_paths_per_gap, len(paths) - len(merged))
             break
-        seq = splice(path)
-        key = min(seq.tobytes(), dna.revcomp(seq).tobytes())
-        if key in seen:      # sequence-level safety net on top of the
-            continue         # path-level RemoveDupRevCompPaths
-        seen.add(key)
-        merged.append(seq)
+        merged.append(splice(path))
         infos.append(list(path))
     return merged, infos
 
@@ -359,26 +471,26 @@ def _tarjan_scc(N: int, adj: dict[int, list[int]]) -> list[list[int]]:
 MAX_PATHS_PER_ROOT = 20
 
 
-def enumerate_paths(N: int, edges: dict, cfg: MergeConfig):
+def enumerate_paths(N: int, edges: dict, cfg: MergeConfig, adj=None):
     """FindSimplePathsTopSort parity (GraphUtils.cpp:625-771).
 
-    Returns deduped node-index paths (len >= 2), reference semantics:
-    SCC-condensation rank; roots = nodes with no cross-SCC incoming
+    Returns deduped node-index paths, reference semantics:
+    SCC-condensation rank (Tarjan emission reversed, neighbor walks in
+    EDGE-INSERTION order); roots = nodes with no cross-SCC incoming
     edge / ends = none outgoing (multi-node SCCs keep at most one
     representative, :1299-1340); per root a min-weight DP over rank
-    order with edge weight -overlap (back-edges ignored) gives one
-    path per reachable end; per root the longest-by-node-count are
-    kept. Single-node paths (isolated roots) are skipped — the
-    reference emits them but its own dedup pass immediately removes
-    them again.
+    order with edge weight -overlap (back-edges by rank ignored,
+    strict-improvement relaxation) gives one path per reachable end;
+    per root the longest-by-node-count are kept up to the
+    MAX_PATHS_PER_ROOT(+1) quirk — trivial single-node paths count
+    toward that cap exactly as in the reference (its output stage
+    then drops them, ContigsCompactor.cpp:954). Node twins are
+    interleaved: twin(v) = v ^ 1.
     """
-    adj: dict[int, list[int]] = {}
-    radj: dict[int, list[int]] = {}
-    for (a, b) in edges:
-        adj.setdefault(a, []).append(b)
-        radj.setdefault(b, []).append(a)
-    for lst in adj.values():
-        lst.sort()
+    if adj is None:
+        adj = {}
+        for (a, b) in edges:
+            adj.setdefault(a, []).append(b)
 
     sccs = _tarjan_scc(N, adj)
     scc_of = {}
@@ -426,14 +538,11 @@ def enumerate_paths(N: int, edges: dict, cfg: MergeConfig):
             for v in adj.get(u, ()):
                 if rank[v] < rank[u]:
                     continue  # back-edge within/into an earlier SCC
-                if len(path[u]) >= cfg.max_path_nodes:
-                    continue
                 w = -float(edges[(u, v)][0])   # weight = -overlap
                 if dist[u] + w < dist[v]:
                     dist[v] = dist[u] + w
                     path[v] = path[u] + (v,)
-        found = [path[e] for e in ends
-                 if dist[e] < INF and len(path[e]) > 1]
+        found = [path[e] for e in ends if dist[e] < INF]
         found.sort(key=lambda p: (-len(p), p))
         for num_out, p in enumerate(found):
             if num_out > MAX_PATHS_PER_ROOT:
@@ -444,11 +553,10 @@ def enumerate_paths(N: int, edges: dict, cfg: MergeConfig):
 
     # RemoveDupRevCompPaths (ContigsCompactor.cpp:1422-1454): drop a
     # path when its twin-reversed image is also present and ordered
-    # strictly before it
-    n = N // 2
-
+    # strictly before it (set order = node creation order because the
+    # numbering is interleaved)
     def rc_path(p):
-        return tuple((v + n) % (2 * n) for v in reversed(p))
+        return tuple(v ^ 1 for v in reversed(p))
 
     ordered = sorted(all_paths)
     pos = {p: i for i, p in enumerate(ordered)}

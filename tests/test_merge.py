@@ -260,7 +260,7 @@ def _brute_force_reference_paths(N, edges, cfg):
     for root in roots:
         best = {}
         for p in all_paths_from(root, {root}):
-            if p[-1] not in ends or len(p) < 2:
+            if p[-1] not in ends:
                 continue
             w = sum(-edges[(a, b)][0] for a, b in zip(p, p[1:]))
             # reference DP: first strictly-better path wins; emulate by
@@ -276,12 +276,11 @@ def _brute_force_reference_paths(N, edges, cfg):
             if p not in seen_paths:
                 seen_paths.add(p)
                 all_out.append(p)
-    n = N // 2
     ordered = sorted(all_out)
     pos = {p: i for i, p in enumerate(ordered)}
     out = []
     for p in ordered:
-        q = tuple((v + n) % (2 * n) for v in reversed(p))
+        q = tuple(v ^ 1 for v in reversed(p))
         if q in pos and pos[q] < pos[p]:
             continue
         out.append(p)
@@ -299,7 +298,7 @@ def test_enumerate_paths_matches_bruteforce(seed):
     edges = {}
     for _ in range(int(rng.integers(1, 2 * N))):
         a, b = int(rng.integers(0, N)), int(rng.integers(0, N))
-        if a % n == b % n:
+        if a >> 1 == b >> 1:
             continue
         edges[(a, b)] = (int(rng.integers(10, 200)), 0)
     if not edges:
