@@ -175,12 +175,83 @@ def read_bam(path: str, keep_names: bool = False,
                       cig_off=np.asarray(coffs, np.int32) if keep_cigars else None)
 
 
-def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
+_BGZF_CHUNK = 0xFF00
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM-spec UCSC binning: smallest bin containing [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _build_bai(n_ref: int, spans, block_coffsets: list[int]) -> bytes:
+    """Build a samtools-compatible .bai index (the reference pipeline
+    shells out `samtools index` after every sort, MergeContigs.py:40-44;
+    TERefiner auto-creates one via BamTools, bam_parse.cpp:72-96).
+
+    spans: iterable of (tid, beg, end, u_start, u_end) per mapped
+    record in file order (coordinate-sorted within each tid), with
+    u_start/u_end the record's uncompressed BAM-payload byte offsets
+    (including the block_size prefix).  block_coffsets[i] is the
+    compressed file offset of the i-th fixed-size BGZF block.
+    """
+    def vo(u: int) -> int:
+        blk, within = u // _BGZF_CHUNK, u % _BGZF_CHUNK
+        blk = min(blk, len(block_coffsets) - 1)
+        return (block_coffsets[blk] << 16) | within
+
+    per_ref_bins: list[dict[int, list[tuple[int, int]]]] = \
+        [dict() for _ in range(n_ref)]
+    per_ref_intv: list[dict[int, int]] = [dict() for _ in range(n_ref)]
+    for tid, beg, end, u0, u1 in spans:
+        if tid < 0 or tid >= n_ref:
+            continue
+        end = max(end, beg + 1)
+        per_ref_bins[tid].setdefault(_reg2bin(beg, end), []).append(
+            (vo(u0), vo(u1)))
+        for w in range(beg >> 14, ((end - 1) >> 14) + 1):
+            cur = per_ref_intv[tid].get(w)
+            if cur is None or vo(u0) < cur:
+                per_ref_intv[tid][w] = vo(u0)
+
+    out = bytearray(b"BAI\x01" + struct.pack("<i", n_ref))
+    for bins, intv in zip(per_ref_bins, per_ref_intv):
+        out += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for v0, v1 in chunks:
+                out += struct.pack("<QQ", v0, v1)
+        n_intv = (max(intv) + 1) if intv else 0
+        out += struct.pack("<i", n_intv)
+        last = 0
+        for w in range(n_intv):
+            last = intv.get(w, last)
+            out += struct.pack("<Q", last)
+    return bytes(out)
+
+
+def write_bam(path: str, refs: list[tuple[str, int]], records,
+              index: bool = False) -> None:
     """Minimal BAM writer (tests / interchange).
 
     records: iterable of dicts with keys name, flag, tid, pos, mapq,
     cigar (list[(op_char, len)]), mtid, mpos, tlen, seq(optional str),
     qual(optional phred+33 bytes, 0xFF-filled when absent).
+
+    index=True also writes a samtools-compatible `path + ".bai"`
+    (records must then be coordinate-sorted within each tid, tids
+    ascending — the usual sorted-BAM contract).
     """
     header_text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
     body = [b"BAM\x01", struct.pack("<i", len(header_text)),
@@ -188,6 +259,8 @@ def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
     for name, ln in refs:
         nb = name.encode() + b"\x00"
         body += [struct.pack("<i", len(nb)), nb, struct.pack("<i", ln)]
+    u_off = sum(len(b) for b in body)
+    spans = []
     for r in records:
         name = r["name"].encode() + b"\x00"
         cigar = r.get("cigar", [])
@@ -217,8 +290,36 @@ def write_bam(path: str, refs: list[tuple[str, int]], records) -> None:
                 op.encode() if isinstance(op, str) else op))
         rec += enc_seq + qual
         body += [struct.pack("<i", len(rec)), rec]
+        if index and not (r["flag"] & 4) and r["tid"] >= 0:
+            ref_span = sum(oln for op, oln in cigar
+                           if (op if isinstance(op, str)
+                               else op.decode()) in "MDN=X")
+            spans.append((r["tid"], r["pos"], r["pos"] + ref_span,
+                          u_off, u_off + 4 + len(rec)))
+        u_off += 4 + len(rec)
+    payload = b"".join(body)
+    compressed = _bgzf_compress(payload)
     with open(path, "wb") as fh:
-        fh.write(_bgzf_compress(b"".join(body)))
+        fh.write(compressed)
+    if index:
+        # compressed offset of each fixed-size block: re-walk the BGZF
+        # framing (each block's BSIZE field gives its compressed size)
+        coffs, off = [], 0
+        while off < len(compressed) - len(_BGZF_EOF):
+            coffs.append(off)
+            xlen = struct.unpack_from("<H", compressed, off + 10)[0]
+            bsize = None
+            extra = compressed[off + 12: off + 12 + xlen]
+            eoff = 0
+            while eoff < len(extra):
+                si1, si2, slen = extra[eoff], extra[eoff + 1], \
+                    struct.unpack_from("<H", extra, eoff + 2)[0]
+                if si1 == 0x42 and si2 == 0x43:
+                    bsize = struct.unpack_from("<H", extra, eoff + 4)[0] + 1
+                eoff += 4 + slen
+            off += bsize
+        with open(path + ".bai", "wb") as fh:
+            fh.write(_build_bai(len(refs), spans, coffs or [0]))
 
 
 def write_bam_columns(path: str, refs: list[tuple[str, int]], *, names,

@@ -31,6 +31,147 @@ def unique_names(names: list[str]):
     return keep
 
 
+def _cigar_stats(aln):
+    """Per-record CIGAR reductions: (n_ops, first_op, first_ln, m_sum,
+    mshi_sum). Requires read_bam(keep_cigars=True)."""
+    if getattr(aln, "cig_op", None) is None:
+        raise ValueError("BAM must be read with keep_cigars=True for "
+                         "exact TERefiner mode parity")
+    op = np.asarray(aln.cig_op)
+    ln = np.asarray(aln.cig_ln, np.int64)
+    off = np.asarray(aln.cig_off, np.int64)
+    n = len(off) - 1
+    n_ops = (off[1:] - off[:-1]).astype(np.int64)
+    first_op = np.full(n, -1, np.int64)
+    first_ln = np.zeros(n, np.int64)
+    has = n_ops > 0
+    first_op[has] = op[off[:-1][has]]
+    first_ln[has] = ln[off[:-1][has]]
+    # segment ids: which record each flat op belongs to
+    seg = np.repeat(np.arange(n), n_ops)
+    m_sum = np.zeros(n, np.int64)
+    np.add.at(m_sum, seg[op == 0], ln[op == 0])          # 'M' only
+    shi = (op == 4) | (op == 5) | (op == 1)              # S, H, I
+    shi_sum = np.zeros(n, np.int64)
+    np.add.at(shi_sum, seg[shi], ln[shi])
+    return n_ops, first_op, first_ln, m_sum, m_sum + shi_sum
+
+
+def fully_mapped_mask(aln, qlens, cutoff: float):
+    """Alignment::isFullyMapped (Alignment.cpp:397-425) per record.
+
+    True when the CIGAR is a single M op of length <= the query contig
+    length, or when sum(M) / sum(M+S+H+I) > cutoff (strict; an empty
+    denominator is false — the C++ NaN comparison)."""
+    n_ops, first_op, first_ln, m_sum, tot = _cigar_stats(aln)
+    qlens = np.asarray(qlens, np.int64)
+    single_m = (n_ops == 1) & (first_op == 0) & (first_ln <= qlens)
+    frac = (tot > 0) & (m_sum > cutoff * tot)
+    return single_m | frac
+
+
+def perfect_mapped_mask(aln, qlens):
+    """Alignment::isPerfectMapped (Alignment.cpp:428-437): CIGAR is
+    exactly one M op spanning the full query contig length."""
+    n_ops, first_op, first_ln, _, _ = _cigar_stats(aln)
+    return (n_ops == 1) & (first_op == 0) & \
+        (first_ln == np.asarray(qlens, np.int64))
+
+
+def _fai_maps(fai_names, fai_lens):
+    idx = {}
+    for i, nm in enumerate(fai_names):
+        idx[nm] = i  # map semantics: later duplicate name overwrites
+    lens = np.asarray(fai_lens, np.int64)
+    return idx, lens
+
+
+def _decode_names(aln):
+    if aln.names is None:
+        raise ValueError("BAM must be read with keep_names=True for "
+                         "exact TERefiner mode parity")
+    return [nm.decode() if isinstance(nm, bytes) else nm
+            for nm in aln.names]
+
+
+def remove_dup_contigs(aln, fai_names, fai_lens, cutoff: float,
+                       rm_contained: bool = False):
+    """-P removeDupRepeatsOfOneContigSet (refiner.cpp:660-801) over a
+    contig-vs-self BAM: returns kept fai indices.
+
+    Without -g (rm_contained=False): a fully-mapped query with
+    qname > rname is dropped when the two lengths are equal or their
+    difference ratio <= 1-cutoff. With -g: a *perfectly* mapped query
+    (single full-length M) hitting a different contig is dropped."""
+    idx, lens = _fai_maps(fai_names, fai_lens)
+    names = _decode_names(aln)
+    qid = np.array([idx.get(nm, 0) for nm in names], np.int64)
+    qlen = lens[qid] * np.array([nm in idx for nm in names], np.int64)
+    tid = np.asarray(aln.tid, np.int64)
+    ok_tid = (tid >= 0) & (tid < len(fai_names))
+    if rm_contained:
+        mask = perfect_mapped_mask(aln, qlen)
+        rm = set()
+        for i in np.nonzero(mask & ok_tid)[0]:
+            if names[i] != fai_names[tid[i]]:
+                rm.add(int(qid[i]))
+    else:
+        mask = fully_mapped_mask(aln, qlen, cutoff)
+        rm = set()
+        for i in np.nonzero(mask & ok_tid)[0]:
+            qname, rname = names[i], fai_names[tid[i]]
+            if not qname > rname:
+                continue
+            iq, ir = int(qlen[i]), int(lens[idx[rname]])
+            if iq == ir:
+                rm.add(int(qid[i]))
+            else:
+                idiff, imin = abs(iq - ir), min(iq, ir)
+                if imin > 0 and idiff / imin <= 1.0 - cutoff:
+                    rm.add(int(qid[i]))
+    return [i for i in range(len(fai_names)) if i not in rm]
+
+
+def remove_contained_contigs(aln, fai_names, fai_lens, cutoff: float):
+    """-K removeContainedContigs (refiner.cpp:587-657): drop any query
+    contig fully mapped (M-fraction > cutoff) onto a different contig;
+    returns kept fai indices."""
+    idx, lens = _fai_maps(fai_names, fai_lens)
+    names = _decode_names(aln)
+    qid = np.array([idx.get(nm, 0) for nm in names], np.int64)
+    qlen = lens[qid] * np.array([nm in idx for nm in names], np.int64)
+    tid = np.asarray(aln.tid, np.int64)
+    ok_tid = (tid >= 0) & (tid < len(fai_names))
+    mask = fully_mapped_mask(aln, qlen, cutoff)
+    rm = set()
+    for i in np.nonzero(mask & ok_tid)[0]:
+        if names[i] != fai_names[tid[i]]:
+            rm.add(int(qid[i]))
+    return [i for i in range(len(fai_names)) if i not in rm]
+
+
+def coverage_with_cutoff_exact(aln, contig_lens, cutoff: float,
+                               read_length: int):
+    """-G calcCoveageWithCutoff, binary-exact
+    (refiner.cpp:1381-1451 + Coverage.cpp:144-185): per contig, sum
+    M-bases of primary, non-duplicate, QC-pass reads whose
+    M-sum / READ_LENGTH >= cutoff, divided by the contig length.
+
+    Unlike ``coverage_with_cutoff`` the denominator of the read filter
+    is the global -l READ_LENGTH parameter, not each record's length."""
+    C = len(contig_lens)
+    _, _, _, m_sum, _ = _cigar_stats(aln)
+    tid = np.asarray(aln.tid, np.int64)
+    flag = np.asarray(aln.flag, np.int64)
+    ok = (tid >= 0) & (tid < C) & ((flag & 0x400) == 0) & \
+        ((flag & 0x100) == 0) & ((flag & 0x200) == 0) & \
+        (m_sum >= cutoff * read_length)
+    total = np.zeros(C, np.int64)
+    np.add.at(total, tid[ok], m_sum[ok])
+    lens = np.asarray(contig_lens, np.float64)
+    return np.where(lens > 0, total / np.maximum(lens, 1), 0.0)
+
+
 def refine_by_reads(aln, contig_lens, cf_cutoff: float,
                     full_cutoff: float = READ_FULL_MAPPED_CUTOFF):
     """-C refineByReads (refiner.cpp:38-157): keep contigs whose
