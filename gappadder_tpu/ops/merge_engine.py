@@ -211,16 +211,56 @@ def _overlap_H(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
     return H
 
 
+def _overlap_H_batch(pairs_seqs):
+    """Batched _overlap_H over many (s1, s2) pairs: pads to the bucket
+    max, fills ALL matrices in one anti-diagonal sweep, returns each
+    pair's trimmed [n+1, m+1] view.  Padding uses distinct sentinels
+    per side so padded cells always score as mismatch; they sit at
+    higher indices than any true cell so the true region is
+    bit-identical to the per-pair fill."""
+    B = len(pairs_seqs)
+    n_max = max(len(a) for a, _ in pairs_seqs)
+    m_max = max(len(b) for _, b in pairs_seqs)
+    q = np.full((B, n_max), -1, np.int32)
+    t = np.full((B, m_max), -2, np.int32)
+    for b, (s1, s2) in enumerate(pairs_seqs):
+        q[b, :len(s1)] = s1
+        t[b, :len(s2)] = s2
+    mm = np.int32(MERGE_PARAMS.mismatch)
+    ind = np.int32(-MERGE_PARAMS.gap_open)
+    H = np.zeros((B, n_max + 1, m_max + 1), np.int32)
+    for d in range(2, n_max + m_max + 1):
+        ilo = max(1, d - m_max)
+        ihi = min(n_max, d - 1)
+        if ilo > ihi:
+            continue
+        i = np.arange(ilo, ihi + 1)
+        j = d - i
+        s = np.where(q[:, i - 1] == t[:, j - 1],
+                     np.int32(MERGE_PARAMS.match), mm)
+        H[:, i, j] = np.maximum(H[:, i - 1, j - 1] + s,
+                                np.maximum(H[:, i - 1, j] + ind,
+                                           H[:, i, j - 1] + ind))
+    return [H[b, :len(s1) + 1, :len(s2) + 1]
+            for b, (s1, s2) in enumerate(pairs_seqs)]
+
+
+# bucket batches of surviving pairs to <= this many H cells at a time
+# (int32), trading peak memory against per-pair Python sweep overhead
+_BATCH_CELL_BUDGET = 64 << 20
+
+
 def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
-                  relax: bool = False) -> EvalResult:
+                  relax: bool = False, H=None) -> EvalResult:
     """EXACT reference pair evaluation (ContigsCompactor::Evaluate,
     ContigsCompactor.cpp:1572-1874 + IsScoreSignificant :1876-1976):
     one DP per unordered pair; the best clipped border cell (scanned
     c = 0..max_clip_len, column before row, ascending index, strict
     improvement) decides direction, ends, containment and the merged
     string; relax skips the significance check (FormMergedSeqFromPath
-    mode)."""
-    H = _overlap_H(s1, s2)
+    mode).  H: optional precomputed DP matrix (_overlap_H_batch)."""
+    if H is None:
+        H = _overlap_H(s1, s2)
     n, m = len(s1), len(s2)
     best = -(1 << 60)
     pr = pc = nc = -1
@@ -355,14 +395,38 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
                         (1.0 - cfg.frac_score_loss)))
 
     # one exact evaluation per unordered pair; the winning end decides
-    # the direction (threadMergeContigV2, ContigsCompactor.cpp:623-693)
+    # the direction (threadMergeContigV2, ContigsCompactor.cpp:623-693).
+    # Surviving pairs fill their DP matrices in shared batched sweeps.
+    surv = [(a, b) for (a, b), sc in zip(pairs, s) if int(sc) >= floor]
+    # fill H size-sorted (keeps same-shaped pairs together so the
+    # bucket padding stays tight); EVALUATION below runs in original
+    # pair order — edge insertion order is a parity-bearing tie-break
+    H_by_pair: dict[tuple[int, int], np.ndarray] = {}
+    batch: list[tuple[int, int]] = []
+    n_mx = m_mx = 0
+    for a, b in sorted(surv, key=lambda p: (len(nodes[p[0]]),
+                                            len(nodes[p[1]]))):
+        n2 = max(n_mx, len(nodes[a]) + 1)
+        m2 = max(m_mx, len(nodes[b]) + 1)
+        if batch and (len(batch) + 1) * n2 * m2 > _BATCH_CELL_BUDGET:
+            for p_, h_ in zip(batch, _overlap_H_batch(
+                    [(nodes[x], nodes[y]) for x, y in batch])):
+                H_by_pair[p_] = h_
+            batch, n_mx, m_mx = [], 0, 0
+            n2 = len(nodes[a]) + 1
+            m2 = len(nodes[b]) + 1
+        batch.append((a, b))
+        n_mx, m_mx = n2, m2
+    if batch:
+        for p_, h_ in zip(batch, _overlap_H_batch(
+                [(nodes[x], nodes[y]) for x, y in batch])):
+            H_by_pair[p_] = h_
+
     edges: dict[tuple[int, int], tuple[int]] = {}
     adj: dict[int, list[int]] = {}
     truncated_out = 0
-    for (a, b), sc in zip(pairs, s):
-        if int(sc) < floor:
-            continue
-        r = evaluate_pair(nodes[a], nodes[b], cfg)
+    for a, b in surv:
+        r = evaluate_pair(nodes[a], nodes[b], cfg, H=H_by_pair[(a, b)])
         if r.code != OVERLAP_LARGER_MINLEN or r.is_containment:
             continue
         ovsz = r.overlap_size(len(nodes[a]), len(nodes[b]))

@@ -129,17 +129,23 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
             use_pallas=use_pallas)
         if first_score is None:
             first_score = score
-        any_hit = False
-        for i in range(len(pg)):
-            if score[i] < min_score:
-                continue
+        score = np.asarray(score)
+        qend = np.asarray(qend)
+        tend = np.asarray(tend)
+        win = np.nonzero(score >= min_score)[0]
+        if len(win) == 0:
+            break
+        # batched host traceback for all winners of this pass (one
+        # anti-diagonal sweep for the whole batch, not one per hit)
+        qs_b, ts_b, ms_b = sw_host.alignment_stats_batch(
+            q_batch[win], ql_batch[win], t_work[win], tl_batch[win],
+            BWA_PARAMS, "local", qend[win], tend[win])
+        for w, i in enumerate(win):
             g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
             qlen = int(ql_batch[i])
             side = "left" if qi < 2 else "right"
             rc = bool(qi % 2)
-            qstart, tstart, m_sum = sw_host.alignment_stats(
-                q_batch[i][:qlen], t_work[i][:int(tl_batch[i])],
-                BWA_PARAMS, "local", int(qend[i]), int(tend[i]))
+            qstart, tstart, m_sum = int(qs_b[w]), int(ts_b[w]), int(ms_b[w])
             lcl = qstart > 0
             rcl = int(qend[i]) < qlen
             if lcl and rcl:
@@ -155,9 +161,6 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
                 map_pos=tstart + 1, match_len=m_sum, clip_type=ct,
                 qstart=qstart, qend=int(qend[i]), tend=int(tend[i])))
             t_work[i, tstart:int(tend[i])] = dna.N
-            any_hit = True
-        if not any_hit:
-            break
 
     # query-global ("fit") pass: supplies the UNCLIP candidates bwa -a
     # reports even when the best LOCAL hit trims a flank end
@@ -170,21 +173,26 @@ def align_flanks_to_contigs(flank_left, flank_right, contigs, contig_lens,
     fscore, fqend, ftend = sw_pairs(
         q_batch, ql_batch, t_batch, tl_batch, BWA_PARAMS, "fit",
         use_pallas=use_pallas)
-    score = first_score
-    for i in range(len(pg)):
-        g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
-        qlen = int(ql_batch[i])
-        side = "left" if qi < 2 else "right"
-        rc = bool(qi % 2)
-        if fscore[i] >= min_score and fscore[i] != score[i] \
-                and fscore[i] >= score[i] - 2 * END_BONUS:
-            qstart, tstart, m_sum = sw_host.alignment_stats(
-                q_batch[i][:qlen], t_batch[i][:int(tl_batch[i])],
-                BWA_PARAMS, "fit", int(fqend[i]), int(ftend[i]))
+    score = np.asarray(first_score)
+    fscore = np.asarray(fscore)
+    fqend = np.asarray(fqend)
+    ftend = np.asarray(ftend)
+    fwin = np.nonzero((fscore >= min_score) & (fscore != score) &
+                      (fscore >= score - 2 * END_BONUS))[0]
+    if len(fwin):
+        qs_b, ts_b, ms_b = sw_host.alignment_stats_batch(
+            q_batch[fwin], ql_batch[fwin], t_batch[fwin], tl_batch[fwin],
+            BWA_PARAMS, "fit", fqend[fwin], ftend[fwin])
+        for w, i in enumerate(fwin):
+            g, qi, c = int(pg[i]), int(pq[i]), int(pc[i])
+            qlen = int(ql_batch[i])
+            side = "left" if qi < 2 else "right"
+            rc = bool(qi % 2)
             hits[g].append(FlankHit(
                 contig=c, side=side, rc=rc, score=int(fscore[i]),
-                map_pos=tstart + 1, match_len=m_sum, clip_type=UNCLIP,
-                qstart=0, qend=qlen, tend=int(ftend[i])))
+                map_pos=int(ts_b[w]) + 1, match_len=int(ms_b[w]),
+                clip_type=UNCLIP, qstart=0, qend=qlen,
+                tend=int(ftend[i])))
     return hits
 
 
