@@ -453,10 +453,16 @@ def home_of(gap: np.ndarray, n_shards: int):
 def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
                  read_len: int = 48, step: int = 4, flank_len: int = 96,
                  gap_len: int = 64, route_impl: str = "dense",
-                 kset=((17, 15),)):
+                 kset=((17, 15),), use_pallas: bool | None = None):
     """Tiny planted scenario: G gaps on one scaffold, clipped reads
     tiling each gap region so the DBG closes it; returns (dims, args)
-    ready for make_slice_step."""
+    ready for make_slice_step.
+
+    use_pallas: None = auto (Pallas SW for the flank-pick block when
+    the backend is TPU, XLA kernels elsewhere)."""
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() == "tpu"
     from ..ops import intervals
     from ..ops.classify import build_gap_windows
 
@@ -537,7 +543,7 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
         # distinct k-mers per gap <= tiled region length (contiguous)
         max_distinct=1 << (2 * margin + gap_len).bit_length(),
         max_contig_len=1 << (gap_len + 2 * margin).bit_length(),
-        route_impl=route_impl)
+        route_impl=route_impl, use_pallas=use_pallas)
 
     args = (recs["tid"], recs["pos"], recs["flag"], recs["mapq"],
             recs["mtid"], recs["mpos"], recs["tlen"], recs["lclip"],

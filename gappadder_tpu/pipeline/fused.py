@@ -167,7 +167,9 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
             min_contig_len=cfg.min_contig_len,
             min_kmer_count=cfg.min_kmer_count,
             pop_bubbles=cfg.bubble_pop_rounds,
-            route_impl=dist.default_impl())
+            route_impl=dist.default_impl(),
+            use_pallas=(bool(cfg.tpu.use_pallas)
+                        and jax.default_backend() == "tpu"))
         step = make_assemble_step(mesh, dims)
         dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
