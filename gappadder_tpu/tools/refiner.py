@@ -328,13 +328,33 @@ def evaluate_with_benchmark(aln, bench_lens, cutoff: float = 0.9):
     assembled contigs cover the benchmark sequences?
 
     aln: contigs aligned TO the benchmark. Returns dict with counts of
-    benchmark seqs covered >= cutoff and per-seq coverage."""
+    benchmark seqs covered >= cutoff, per-seq coverage, and the
+    binary's .statistic.table.txt row fields: total_covered (bases hit
+    at least once), total_mapped_bases (pileup mass over covered
+    bases), longest_single (max full M-sum among records whose
+    M-sum / ref_len >= cutoff — the reference takes the full CIGAR M
+    count even when the pileup clips at the contig end, and applies NO
+    flag filters in this mode)."""
+    lens = np.asarray(bench_lens, np.int64)
     mean_cov, covered = cov_ops.per_base_coverage(
         np.asarray(aln.tid), np.asarray(aln.pos),
         np.asarray(aln.nmatch), bench_lens, cigars=_cigars_of(aln))
-    frac = covered / np.maximum(np.asarray(bench_lens, np.int64), 1)
+    frac = covered / np.maximum(lens, 1)
+    C = len(lens)
+    tid = np.asarray(aln.tid, np.int64)
+    if getattr(aln, "cig_op", None) is not None:
+        _, _, _, m_sum, _ = _cigar_stats(aln)
+    else:
+        m_sum = np.asarray(aln.nmatch, np.int64)
+    ok = (tid >= 0) & (tid < C) & ((np.asarray(aln.flag) & 4) == 0) & \
+        (m_sum >= cutoff * lens[np.clip(tid, 0, C - 1)])
+    longest = np.zeros(C, np.int64)
+    np.maximum.at(longest, tid[ok], m_sum[ok])
     return {
         "covered_frac": frac,
         "n_covered": int((frac >= cutoff).sum()),
         "mean_coverage": mean_cov,
+        "total_covered": covered,
+        "total_mapped_bases": np.rint(mean_cov * lens).astype(np.int64),
+        "longest_single": longest,
     }
