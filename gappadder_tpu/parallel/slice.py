@@ -452,11 +452,18 @@ def home_of(gap: np.ndarray, n_shards: int):
 
 def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
                  read_len: int = 48, step: int = 4, flank_len: int = 96,
-                 gap_len: int = 64, route_impl: str = "dense",
+                 gap_len: int | tuple[int, int] = 64,
+                 route_impl: str = "dense",
                  kset=((17, 15),), use_pallas: bool | None = None):
     """Tiny planted scenario: G gaps on one scaffold, clipped reads
     tiling each gap region so the DBG closes it; returns (dims, args)
     ready for make_slice_step.
+
+    gap_len: a fixed length, or an inclusive (lo, hi) range — per-gap
+    lengths are then drawn log-uniformly, giving the SKEWED size
+    distribution (many short gaps, a long tail) real drafts have; caps
+    are sized to the largest gap, so padding waste is part of what a
+    skewed measurement honestly charges.
 
     use_pallas: None = auto (Pallas SW for the flank-pick block when
     the backend is TPU, XLA kernels elsewhere)."""
@@ -468,12 +475,19 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
 
     G = n_shards * gaps_per_shard
     rng = np.random.default_rng(seed)
+    if isinstance(gap_len, tuple):
+        lo, hi = gap_len
+        glens = np.exp(rng.uniform(np.log(lo), np.log(hi), G))
+        glens = np.clip(np.round(glens).astype(np.int32), lo, hi)
+        gap_len = int(hi)              # caps below size to the largest
+    else:
+        glens = np.full(G, gap_len, np.int32)
     span, gap_off = 2 * gap_len + 272, gap_len + 136
     L = G * span + 2 * flank_len
     truth = rng.integers(0, 4, L).astype(np.int8)
     gs = np.array([flank_len + g * span + gap_off for g in range(G)],
                   np.int32)
-    ge = gs + gap_len
+    ge = gs + glens
 
     # clipped reads tiling [gs - margin, ge + margin)
     recs = {k: [] for k in ("tid", "pos", "flag", "mapq", "mtid", "mpos",

@@ -22,21 +22,26 @@ sys.path.insert(0, _ROOT)
 import numpy as np
 
 
-def bench_scenario(n_shards: int, gaps_per_shard: int):
+def bench_scenario(n_shards: int, gaps_per_shard: int,
+                   skew: bool = False):
     """A bench-scale planted scenario: denser read tiling and longer
-    gaps than the test default (~169 reads/gap, 256bp gaps)."""
+    gaps than the test default (~169 reads/gap, 256bp gaps). With
+    skew=True, gap lengths are drawn log-uniformly in [64, 384] (mean
+    ~160 bp) — the realistic many-short/long-tail shape; caps pad to
+    the longest gap, so the number charges the padding waste too."""
     from gappadder_tpu.parallel import dist
     from gappadder_tpu.parallel import slice as sl
-    import dataclasses
 
     dims, args = sl.example_data(
         n_shards, gaps_per_shard=gaps_per_shard, read_len=96, step=2,
-        flank_len=96, gap_len=256, route_impl=dist.default_impl())
+        flank_len=96, gap_len=(64, 384) if skew else 256,
+        route_impl=dist.default_impl())
     return dims, args
 
 
 def measure(n_shards: int, gaps_per_shard: int = 16,
-            k_lo: int = 1, k_hi: int = 5, repeats: int = 5):
+            k_lo: int = 1, k_hi: int = 5, repeats: int = 5,
+            skew: bool = False):
     """Slope-timed fused-step throughput on the current backend."""
     import jax
     import jax.numpy as jnp
@@ -45,7 +50,7 @@ def measure(n_shards: int, gaps_per_shard: int = 16,
 
     mesh = make_mesh(shape=(n_shards,), axes=("dp",),
                      devices=jax.devices()[:n_shards])
-    dims, args = bench_scenario(n_shards, gaps_per_shard)
+    dims, args = bench_scenario(n_shards, gaps_per_shard, skew=skew)
     placed = sl.place_args(mesh, args)
     n_records = args[0].shape[0]
 
@@ -104,6 +109,7 @@ def main():
         jax.config.update("jax_num_cpu_devices", n_want)
     shards = [1]
     gaps = 16
+    skew = "--skew" in sys.argv
     for a in list(sys.argv[1:]):
         if a.startswith("--shards="):
             shards = [int(x) for x in a.split("=")[1].split(",")]
@@ -115,7 +121,10 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    out = [measure(n, gaps_per_shard=gaps) for n in shards]
+    out = [measure(n, gaps_per_shard=gaps, skew=skew) for n in shards]
+    if skew:
+        for r in out:
+            r["scenario"] = "skewed gap lengths log-uniform 64-384"
     print(json.dumps(out))
 
 

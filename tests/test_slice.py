@@ -20,10 +20,11 @@ from gappadder_tpu.parallel import slice as sl
 from gappadder_tpu.parallel.mesh import make_mesh
 
 
-def run_slice(n_shards: int, gaps_per_shard: int):
+def run_slice(n_shards: int, gaps_per_shard: int, gap_len=64):
     mesh = make_mesh(shape=(n_shards,), axes=("dp",),
                      devices=jax.devices()[:n_shards])
-    dims, args = sl.example_data(n_shards, gaps_per_shard=gaps_per_shard)
+    dims, args = sl.example_data(n_shards, gaps_per_shard=gaps_per_shard,
+                                 gap_len=gap_len)
     step = sl.make_slice_step(mesh, dims)
     out = step(*sl.place_args(mesh, args))
     (counts, hist, n_recv, n_reads, rowtab, hqtab, useq, ulen, ucnt,
@@ -62,6 +63,28 @@ def test_slice_closes_planted_gaps():
         assert max(len(c) for c in r["contigs"]) >= 128, g
         assert r["score"] == (40, 40), g
     assert res["counts"][0] == 400  # all planted reads classified clip
+
+
+def test_slice_closes_skewed_gaps():
+    """Skewed (log-uniform 64..160) per-gap lengths in ONE batch: the
+    bucket/caps machinery must still close every gap — contigs span
+    each gap's own length and both flanks hit at the max local score.
+    Mirrors the realistic many-short/long-tail draft distribution the
+    uniform scenario doesn't exercise."""
+    res = run_slice(4, 2, gap_len=(64, 160))
+    # replicate example_data's deterministic per-gap draw (seed 0,
+    # lengths drawn before any other rng use)
+    rng = np.random.default_rng(0)
+    glens = np.exp(rng.uniform(np.log(64), np.log(160), 8))
+    glens = np.clip(np.round(glens).astype(np.int32), 64, 160)
+    margin = 40                       # read_len 48 - 8
+    for g, r in res["per_gap"].items():
+        # left tiling grid starts exactly at gs-margin -> full score;
+        # the right margin loses up to step-1 bases when glen % step != 0
+        assert r["score"][0] == 40, g
+        assert r["score"][1] >= 40 - 3, g
+        assert max(len(c) for c in r["contigs"]) >= \
+            int(glens[g]) + 2 * margin - 8, g
 
 
 @pytest.mark.parametrize("n_shards,gaps_per_shard",
