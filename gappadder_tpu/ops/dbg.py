@@ -158,13 +158,30 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
     is_head = prev[:N] == jnp.arange(N)     # no incoming chain edge
     is_head = is_head & node_valid
 
-    # ---- pointer doubling: find head + cycle break ----------------------
+    # ---- pointer doubling: find head + cycle break + list ranking -------
     # TPU note: batched dynamic gathers are the cost center here (~1 ms
-    # per [G, N] gather at N≈6k on v5e — 7x a 2-operand sort). Each
-    # doubling step needs BOTH payload[p] and p[p], so pack (payload,
-    # pointer) into one int32 word (payload << shift | p) and gather
-    # ONCE per step — 2x fewer gathers. Requires N < 2^15 so the packed
-    # word stays below 2^31; falls back to two gathers otherwise.
+    # per [G, N] gather at N≈6k on v5e — 7x a 2-operand sort), so the
+    # structure minimizes GATHER COUNT, not flops:
+    #   * ONE fused loop carries (mn, p) packed in an int32 word plus
+    #     the hop rank `off` unpacked; each step gathers the pair
+    #     [w, off] as one [N, 2] row gather. prev restricted to chain
+    #     edges is a partial permutation, so components are simple
+    #     paths or simple cycles — path nodes converge to their head
+    #     (a prev fixed point) with `off` = exact hops-to-head, cycle
+    #     nodes never converge and their (p, off) are fixed up below.
+    #   * EARLY EXIT: a lax.while_loop stops as soon as every pointer
+    #     in the lane is a fixed point (pointer-of-pointer == pointer,
+    #     read off the gather already in hand) — ceil(log2(longest
+    #     chain)) + 1 steps instead of the worst-case T. Cycle-bearing
+    #     lanes run the full T (2^T >= 2N-1 covers any cycle, so `mn`
+    #     still sees the whole cycle for the min-id break).
+    #   * the cycle FIXUP loop re-ranks with the broken-cycle heads as
+    #     fixed points but its convergence test only looks at cycle
+    #     nodes — on an acyclic graph (the common case) it runs ZERO
+    #     iterations. Path-node results always come from the fused
+    #     loop; cycle-node results from the fixup.
+    # Packing needs N < 2^15 so (mn << shift | p) stays below 2^31;
+    # falls back to two-gather loops otherwise.
     T = max(1, (2 * N - 1).bit_length())
     shift = N.bit_length()
     packed_ok = 2 * shift <= 30
@@ -172,43 +189,70 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
 
     p = prev[:N]
     mn = idx32                              # min id seen on prefix path
+    off = jnp.where(is_head, 0, 1).astype(jnp.int32)
+    use_while = jax.default_backend() == "tpu"
     if packed_ok:
-        w = (mn << shift) | p
-        for _ in range(T):
-            g = w[w & ((1 << shift) - 1)]
-            w = jnp.minimum(w & ~((1 << shift) - 1),
-                            g & ~((1 << shift) - 1)) | (g & ((1 << shift) - 1))
+        lo = (1 << shift) - 1
+
+        def _body(c):
+            t, w, off, _ = c
+            ptr = w & lo
+            g = jnp.stack([w, off], axis=-1)[ptr]       # one [N,2] gather
+            gw = g[..., 0]
+            w = jnp.minimum(w & ~lo, gw & ~lo) | (gw & lo)
+            off = off + g[..., 1]
+            conv = jnp.all((gw & lo) == ptr)            # p[p] == p, free
+            return t + 1, w, off, conv
+
+        def _cond(c):
+            return (c[0] < T) & ~c[3]
+
+        carry = (jnp.int32(0), (mn << shift) | p, off, jnp.bool_(False))
+        if use_while:
+            _, w, off, _ = jax.lax.while_loop(_cond, _body, carry)
+        else:
+            # CPU/other backends: XLA optimizes the unrolled chain far
+            # better than a while_loop (measured ~30% on the CPU
+            # backend); still half the gathers of the old 2-loop form
+            for _ in range(T):
+                carry = _body(carry)
+            _, w, off, _ = carry
         mn = w >> shift
-        p = w & ((1 << shift) - 1)
+        p = w & lo
     else:
         for _ in range(T):
             mn = jnp.minimum(mn, mn[p])
+            off = off + off[p]
             p = p[p]
     reached_head = is_head[p]
     new_head = is_head | (node_valid & ~reached_head & (mn == idx32))
 
-    # re-run doubling with heads as fixed points: parallel list ranking
-    # (same packing: rank accumulates by ADD in the high bits, pointer
-    # in the low bits). Heads are fixed points (off=0, self-pointer),
-    # so the accumulated rank counts hops to the head and is bounded by
-    # the longest chain length <= N-1 < 2^shift — the rank always fits
-    # in the same shift-bit field; packed_ok = 2*shift <= 30 is the
-    # only headroom condition needed.
+    # cycle fixup: re-rank with the min-id break nodes as heads; only
+    # cycle nodes (valid, head unreached) gate convergence, so this is
+    # free on acyclic graphs
+    cyc = node_valid & ~reached_head
     p2 = jnp.where(new_head, idx32, prev[:N])
-    off = jnp.where(new_head, 0, 1).astype(jnp.int32)
-    if packed_ok:
-        w = (off << shift) | p2
-        for _ in range(T):
-            g = w[w & ((1 << shift) - 1)]
-            w = (((w >> shift) + (g >> shift)) << shift) | \
-                (g & ((1 << shift) - 1))
-        off = w >> shift
-        p2 = w & ((1 << shift) - 1)
+    off2 = jnp.where(new_head, 0, 1).astype(jnp.int32)
+
+    def _body2(c):
+        t, p2, off2, _ = c
+        g = jnp.stack([p2, off2], axis=-1)[p2]
+        gp = g[..., 0]
+        conv = jnp.all(jnp.where(cyc, gp == p2, True))
+        return t + 1, gp, off2 + g[..., 1], conv
+
+    def _cond2(c):
+        return (c[0] < T) & ~c[3]
+
+    carry2 = (jnp.int32(0), p2, off2, ~jnp.any(cyc))
+    if use_while:
+        _, p2, off2, _ = jax.lax.while_loop(_cond2, _body2, carry2)
     else:
         for _ in range(T):
-            off = off + off[p2]
-            p2 = p2[p2]
-    rep = p2                                 # head node of each chain
+            carry2 = _body2(carry2)
+        _, p2, off2, _ = carry2
+    off = jnp.where(reached_head, off, off2)
+    rep = jnp.where(reached_head, p, p2)     # head node of each chain
 
     chain_nodes = jnp.zeros(N + 1, jnp.int32).at[
         jnp.where(node_valid, rep, N)].max(off + 1, mode="drop")
