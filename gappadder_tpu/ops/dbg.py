@@ -386,17 +386,16 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
     both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
     blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
 
-    # ---- nodes & edges ---------------------------------------------------
-    nlimb, nval = kmers.extract_kmers(both, blen, sub_k)      # [2M, P1, nl]
-    node_keys, n_nodes = _unique_compact(
-        nlimb.reshape(-1, nlimb.shape[-1])[None])             # [1, Pn, nl]
-    node_keys, n_nodes = node_keys[0], n_nodes[0]
-    n_nodes_raw = n_nodes
-    if node_cap is not None and node_cap < node_keys.shape[0]:
-        node_keys = node_keys[:node_cap]
-        n_nodes = jnp.minimum(n_nodes, node_cap)
-    N = node_keys.shape[0]
-
+    # ---- edges, then nodes FROM the edges --------------------------------
+    # Every sub_k-mer of a k-string (k > sub_k) is the prefix or suffix
+    # of one of its (sub_k+1)-mers, so the node set is exactly the set
+    # of distinct edge endpoints: one sort of the [2E] endpoint list
+    # yields node enumeration (rank of first occurrence), u_id/v_id
+    # (rank scattered back through the sort payload) AND the compacted
+    # sorted-unique node_keys — replacing the raw-occurrence
+    # unique-compact plus two sort-merge joins of the previous design
+    # (3 large sorts -> 1; the sorts were the remaining DBG cost center
+    # after the doubling rewrite, see scripts/slice_profile.py).
     elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
     edge_keys, n_edges = _unique_compact(
         elimb.reshape(-1, elimb.shape[-1])[None])
@@ -407,15 +406,41 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
         n_edges = jnp.minimum(n_edges, edge_cap)
     E = edge_keys.shape[0]
     edge_valid = jnp.arange(E) < n_edges
-    node_valid = jnp.arange(N) < n_nodes
 
     u_keys = _prefix_kmer(edge_keys, sub_k)
     v_keys = _suffix_kmer(edge_keys, sub_k)
-    u_id_raw = _join_ids_safe(node_keys, u_keys)
-    v_id_raw = _join_ids_safe(node_keys, v_keys)
+    nl = u_keys.shape[-1]
+    q = jnp.concatenate([u_keys, v_keys], axis=0)             # [2E, nl]
+    pay = jnp.arange(2 * E, dtype=jnp.int32)
+    ops = tuple(q[:, l] for l in range(nl)) + (pay,)
+    res = jax.lax.sort(ops, dimension=0, num_keys=nl)
+    sq = jnp.stack(res[:nl], axis=-1)                         # [2E, nl]
+    spay = res[nl]
+    vrow = ~jnp.all(sq == FULL, axis=-1)
+    firsts = kmers.unique_mask(sq) & vrow
+    rank = jnp.cumsum(firsts.astype(jnp.int32)) - 1           # id per row
+    n_nodes_raw = jnp.sum(firsts).astype(jnp.int32)
+
+    # uncapped: 2E endpoint rows bound the distinct-node count by
+    # construction, so rank < N always and nothing can truncate
+    N = 2 * E if node_cap is None else node_cap
+    n_nodes = jnp.minimum(n_nodes_raw, N)
+    node_valid = jnp.arange(N) < n_nodes
+    rank_c = jnp.clip(rank, 0, N - 1)
+    # compacted sorted-unique node keys (scatter first occurrences)
+    node_keys = jnp.full((N + 1, nl), FULL, jnp.uint32).at[
+        jnp.where(firsts & (rank < N), rank_c, N)].set(
+        sq, mode="drop")[:N]
+    # endpoint ids back to edge order (garbage-but-bounded on overflow,
+    # flagged via n_nodes_raw — caller retries bigger, like before)
+    ids = jnp.zeros(2 * E, jnp.int32).at[spay].set(rank_c)
+    u_id_raw, v_id_raw = ids[:E], ids[E:]
 
     # ---- bubble popping (tour-bus equivalent) ----------------------------
     if pop_bubbles > 0:
+        # node occurrences only exist for coverage — extracted lazily
+        # here so the common pop_bubbles=0 path never pays for them
+        nlimb, nval = kmers.extract_kmers(both, blen, sub_k)  # [2M,P1,nl]
         if kcounts is None:
             row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
         else:
