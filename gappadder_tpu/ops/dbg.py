@@ -59,18 +59,35 @@ def _lex_less(a, b):
 def _unique_compact(limbs):
     """Sort [..., P, nl] k-mers, drop duplicates, compact to front.
 
+    Compaction strategy is backend-dependent (both measured): on TPU
+    an argsort+gather wins (row scatters with batch indices lower
+    poorly in Mosaic/XLA-TPU — a cumsum-rank scatter variant measured
+    ~40% SLOWER end-to-end); on CPU the cumsum-rank scatter wins
+    (~10% on the assemble microbench).
+
     Returns (keys [..., P, nl] sorted-unique then FULL padding,
              n [...] distinct count excluding FULL)."""
     s, _ = kmers.sort_kmers(limbs)
     first = kmers.unique_mask(s)
     validk = ~jnp.all(s == FULL, axis=-1)
     keep = first & validk
-    order = jnp.argsort(~keep, axis=-1, stable=True)
-    keys = jnp.take_along_axis(s, order[..., None], axis=-2)
     n = jnp.sum(keep, axis=-1).astype(jnp.int32)
-    P = limbs.shape[-2]
-    keys = jnp.where((jnp.arange(P) < n[..., None])[..., None], keys, FULL)
-    return keys, n
+    P, nl = limbs.shape[-2], limbs.shape[-1]
+    if jax.default_backend() == "tpu":
+        order = jnp.argsort(~keep, axis=-1, stable=True)
+        keys = jnp.take_along_axis(s, order[..., None], axis=-2)
+        keys = jnp.where((jnp.arange(P) < n[..., None])[..., None],
+                         keys, FULL)
+        return keys, n
+    rank = jnp.cumsum(keep, axis=-1) - 1
+    tgt = jnp.where(keep, rank, P)
+    lead = s.shape[:-2]
+    s2 = s.reshape((-1, P, nl))
+    t2 = tgt.reshape((-1, P))
+    b = jnp.arange(s2.shape[0], dtype=jnp.int32)[:, None]
+    keys = jnp.full((s2.shape[0], P + 1, nl), FULL, jnp.uint32).at[
+        b, t2].set(s2, mode="drop")[:, :P]
+    return keys.reshape(lead + (P, nl)), n
 
 
 def _prefix_kmer(edge_limbs, sub_k: int):

@@ -143,13 +143,26 @@ def _merge_chunk_impl(acc, acc_cnt, limbs_new, cnt_new):
     seg = jnp.take_along_axis(c0, nxt, axis=-1) - \
         jnp.take_along_axis(c0, jnp.where(first, idx[None, :], 0), axis=-1)
     seg = jnp.where(keep, seg, 0)
-    order = jnp.argsort(~keep, axis=-1, stable=True)
-    merged = jnp.take_along_axis(s, order[..., None], axis=-2)
-    mcnt = jnp.take_along_axis(seg, order, axis=-1)
-    n = jnp.sum(keep, axis=-1)
-    inb = (jnp.arange(merged.shape[1]) < n[:, None])
-    merged = jnp.where(inb[..., None], merged, jnp.uint32(FULL))
-    mcnt = jnp.where(inb, mcnt, 0)
+    if jax.default_backend() == "tpu":
+        # argsort+gather compaction: row scatters lower poorly on TPU
+        # (measured ~40% slower e2e with the cumsum-rank variant below)
+        order = jnp.argsort(~keep, axis=-1, stable=True)
+        merged = jnp.take_along_axis(s, order[..., None], axis=-2)
+        mcnt = jnp.take_along_axis(seg, order, axis=-1)
+        n = jnp.sum(keep, axis=-1)
+        inb = (jnp.arange(merged.shape[1]) < n[:, None])
+        merged = jnp.where(inb[..., None], merged, jnp.uint32(FULL))
+        mcnt = jnp.where(inb, mcnt, 0)
+        return merged[:, :M], mcnt[:, :M]
+    # CPU/other: cumsum-rank scatter compaction (cheaper than a second
+    # full-width sort; FULL/0 init makes the tail correct)
+    rank = jnp.cumsum(keep, axis=-1) - 1
+    tgt = jnp.where(keep, rank, P)
+    b = jnp.arange(G, dtype=jnp.int32)[:, None]
+    merged = jnp.full((G, P + 1, nl), jnp.uint32(FULL)).at[
+        b, tgt].set(s, mode="drop")[:, :P]
+    mcnt = jnp.zeros((G, P + 1), jnp.int32).at[
+        b, tgt].set(seg, mode="drop")[:, :P]
     return merged[:, :M], mcnt[:, :M]
 
 
