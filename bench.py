@@ -45,8 +45,8 @@ BUDGET = float(os.environ.get("GAPPADDER_BENCH_BUDGET", "420"))
 # Builder-local CPU baseline of the same fused-slice computation
 # (scripts/slice_bench.py --cpu), recorded so a slow CPU box can never
 # sink the bench. Superseded by the live run whenever it fits.
-CACHED_CPU = {"gaps_per_s_1shard": 69.0, "gaps_per_s_8shard": 114.0,
-              "source": "builder-local round 2 (2-core CPU)"}
+CACHED_CPU = {"gaps_per_s_1shard": 116.7, "gaps_per_s_8shard": 152.7,
+              "source": "builder-local round 3 (2-core CPU)"}
 
 
 def remaining() -> float:
