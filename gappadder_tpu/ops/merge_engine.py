@@ -340,10 +340,25 @@ def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
                       is_containment, merged)
 
 
+def merge_info_lines(names: list[str], infos: list[list[int]]):
+    """Reference .merge.info lines (OutputContigsInfoVer2,
+    ContigsCompactor.cpp:1545-1563): 'NEW_CONTIG_MERGE_<i>  <members>'
+    where members are the path's contig names, each preceded by one
+    space, revcomp twins suffixed _R (CompactVer3's twin naming)."""
+    out = []
+    for i, path in enumerate(infos):
+        mem = "".join(f" {names[v // 2]}{'_R' if v & 1 else ''}"
+                      for v in path)
+        out.append(f"NEW_CONTIG_MERGE_{i}  {mem}")  # '<name>  <" name">*'
+    return sorted(out)  # the reference's map<string,...> iteration order
+
+
 def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
     """Returns (merged list of np arrays, info list of node-index paths).
 
-    Node space: 0..n-1 forward contigs, n..2n-1 revcomp twins.
+    Node space interleaved like the reference's creation order
+    (ContigsCompactor.cpp:794-799): node 2i = contig i, node 2i+1 =
+    its revcomp twin.
     """
     n = len(contigs)
     if n == 0:

@@ -32,20 +32,27 @@ MERGE_SKIP_BASES = 1 << 20   # MergeContigs.py:79-83 skips merging >1MB sets
 
 
 def refine_contigs(clist, names, mcfg: merge_engine.MergeConfig):
-    """Per-gap dedup -> overlap merge -> dedup (MergeContigs.py:15-99)."""
+    """Per-gap dedup -> overlap merge -> dedup (MergeContigs.py:15-99).
+
+    Returns (contigs, names, merge_info_lines): the third element is
+    the reference ContigsMerger's .merge.info provenance (which source
+    contigs, in path order, formed each NEW_CONTIG_MERGE_*; recorded
+    BEFORE the post-merge dedup, like the binary writes its -o file)."""
     keep = merge_engine.dedup_contigs(clist, mcfg)
     clist = [clist[i] for i in keep]
     names = [names[i] for i in keep]
+    info_lines: list[str] = []
     if clist and sum(len(c) for c in clist) <= MERGE_SKIP_BASES:
-        merged, _ = merge_engine.merge_contigs(clist, mcfg)
+        merged, infos = merge_engine.merge_contigs(clist, mcfg)
         if merged:
+            info_lines = merge_engine.merge_info_lines(names, infos)
             clist = clist + merged
             names = names + [f"NEW_CONTIG_MERGE_{i}"
                              for i in range(len(merged))]
             keep = merge_engine.dedup_contigs(clist, mcfg)
             clist = [clist[i] for i in keep]
             names = [names[i] for i in keep]
-    return clist, names
+    return clist, names, info_lines
 
 
 def build_gap_read_arrays(rec, readsets, n_gaps: int):
@@ -138,7 +145,7 @@ def _make_mesh_if_configured(cfg):
 
 
 def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
-                   mesh=None):
+                   mesh=None, minfo=None):
     """Assemble + refine contigs for the given gaps (bucketed).
 
     With a mesh, the [G, ...] gap batch is sharded along the flattened
@@ -208,7 +215,10 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
             for i, g in enumerate(batch):
                 raw = [np.asarray(contigs.seq[i][j][:int(contigs.length[i][j])])
                        for j in range(int(contigs.count[i]))]
-                clist, cnames = refine_contigs(raw, contigs.names[i], mcfg)
+                clist, cnames, ilines = refine_contigs(
+                    raw, contigs.names[i], mcfg)
+                if minfo is not None and ilines:
+                    minfo[g] = ilines
                 contig_store[g] = _tuple_from_list(clist, cnames)
 
 
@@ -285,9 +295,12 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
 
     mesh = _make_mesh_if_configured(cfg)
 
+    # merge provenance: gap -> reference-format .merge.info lines
+    minfo: dict[int, list[str]] = {}
+
     # ---- round 1 --------------------------------------------------------
     _assemble_gaps(cfg, active, per_gap, readsets, L, contig_store, mcfg,
-                   mesh=mesh)
+                   mesh=mesh, minfo=minfo)
     _pick_gaps(cfg, gaps, active, contig_store, fills, exts,
                cfg.pick_min_score_round1, allow_extension=False)
 
@@ -302,7 +315,7 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
             per_gap[g] += [e for e in extra[g] if e not in seen]
         if round2:
             _assemble_gaps(cfg, round2, per_gap, readsets, L,
-                           contig_store, mcfg, mesh=mesh)
+                           contig_store, mcfg, mesh=mesh, minfo=minfo)
             _pick_gaps(cfg, gaps, round2, contig_store, fills, exts,
                        cfg.pick_min_score_round1, allow_extension=False)
 
@@ -323,15 +336,35 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
             s, l, n, nm = contig_store[g]
             clist = [np.asarray(s[i][:int(l[i])]) for i in range(n)] + pseudo
             names = nm + [f"hqread_{i}" for i in range(len(pseudo))]
-            clist, names = refine_contigs(clist, names, mcfg)
+            clist, names, ilines = refine_contigs(clist, names, mcfg)
+            if ilines:
+                minfo[g] = ilines    # last merge run wins, like the
+                #                      binary overwriting its -o file
             contig_store[g] = _tuple_from_list(clist, names)
     _pick_gaps(cfg, gaps, open_gaps, contig_store, fills, exts,
                cfg.pick_min_score_final, allow_extension=True)
 
     _write_picked(cfg, ws, gaps, fills, exts, contig_store)
+    _write_merge_info(ws, gaps, minfo)
     ws.mark_done("assembly", config_hash(cfg), filled=len(fills),
                  extended=len(exts))
     return fills, exts, contig_store
+
+
+def _write_merge_info(ws, gaps, minfo):
+    """merge_info.txt: per-gap ContigsMerger .merge.info provenance
+    ('<gap_id>\\tNEW_CONTIG_MERGE_<i>  <member contig names>'), the
+    consolidated equivalent of the reference's per-gap -o files
+    (MergeContigs.py:85-88 '-o {f}.merge.info';
+    ContigsCompactor.cpp:1545-1563)."""
+    from ..parallel import mp
+    if not mp.is_primary():
+        return
+    ids = gap_ids(gaps)
+    with open(ws.path("merge_info.txt"), "w") as fh:
+        for g in sorted(minfo):
+            for line in minfo[g]:
+                fh.write(f"{ids[g]}\t{line}\n")
 
 
 def _write_picked(cfg, ws, gaps, fills, exts, contig_store=None):

@@ -82,8 +82,12 @@ def run_reference_merger(binary, contigs, names, tmpdir):
             merged[name] = ""
         elif name is not None:
             merged[name] += line.strip()
-    return {k: v for k, v in merged.items()
-            if k.startswith("NEW_CONTIG_MERGE")}
+    info_lines = []
+    if os.path.exists(info):
+        with open(info) as fh:
+            info_lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    return ({k: v for k, v in merged.items()
+             if k.startswith("NEW_CONTIG_MERGE")}, info_lines)
 
 
 def canon(seq_str):
@@ -106,7 +110,8 @@ def test_merge_matches_reference_binary(ref_binary, tmp_path, rng, case):
         frags = [truth[0:200], truth[300:500]]
     names = [f"c{i}" for i in range(len(frags))]
 
-    ref = run_reference_merger(ref_binary, frags, names, str(tmp_path))
+    ref, _ri = run_reference_merger(ref_binary, frags, names,
+                                    str(tmp_path))
     ours, _info = merge_contigs([np.asarray(f) for f in frags],
                                 MergeConfig())
 
@@ -151,7 +156,7 @@ def test_merge_matches_reference_binary_randomized(ref_binary, tmp_path,
         names = [f"c{i}" for i in range(nf)]
         d = tmp_path / f"t{trial}"
         d.mkdir()
-        ref = run_reference_merger(ref_binary, frags, names, str(d))
+        ref, _ri = run_reference_merger(ref_binary, frags, names, str(d))
         ours, _ = merge_contigs([np.asarray(f) for f in frags],
                                 MergeConfig())
         ref_set = sorted(canon(s) for s in ref.values())
@@ -161,3 +166,41 @@ def test_merge_matches_reference_binary_randomized(ref_binary, tmp_path,
         t = canon(dna.decode(truth))
         assert (t in ref_set) == (t in our_set), trial
     assert agree == total, (agree, total)
+
+
+def _canon_members(members):
+    """Path member list up to strand: a path and its reverse with every
+    member's _R toggled describe the same merged contig."""
+    def flip(n):
+        return n[:-2] if n.endswith("_R") else n + "_R"
+    rev = [flip(n) for n in reversed(members)]
+    return min(members, rev)
+
+
+def test_merge_info_matches_reference_binary(ref_binary, tmp_path, rng):
+    """The -o .merge.info provenance (which source contigs, in path
+    order, formed each NEW_CONTIG_MERGE_*) must agree with our
+    merge_info_lines, as a multiset of strand-canonicalized member
+    paths (numbering/orientation may legitimately differ)."""
+    from gappadder_tpu.ops.merge_engine import merge_info_lines
+    truth = rng.integers(0, 4, 800).astype(np.int8)
+    frags = [truth[0:300], dna.revcomp(truth[250:520]), truth[470:800]]
+    names = [f"c{i}" for i in range(len(frags))]
+    ref, ref_info = run_reference_merger(ref_binary, frags, names,
+                                         str(tmp_path))
+    assert ref_info, "binary produced no .merge.info"
+    ours, infos = merge_contigs([np.asarray(f) for f in frags],
+                                MergeConfig())
+    lines = merge_info_lines(names, infos)
+    # same line syntax: NAME + two spaces + (" member")*
+    for ln in lines:
+        assert ln.startswith("NEW_CONTIG_MERGE_") and "   " in ln, ln
+
+    def members_of(lines_):
+        out = []
+        for ln in lines_:
+            _name, rest = ln.split("  ", 1)
+            out.append(_canon_members(rest.split()))
+        return sorted(out)
+
+    assert members_of(lines) == members_of(ref_info)
