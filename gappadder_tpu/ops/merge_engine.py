@@ -353,15 +353,48 @@ def merge_info_lines(names: list[str], infos: list[list[int]]):
     return sorted(out)  # the reference's map<string,...> iteration order
 
 
-def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
+def merge_graph_gml(names: list[str], graph: dict) -> str:
+    """The reference's tmp.gml dump of the merge overlap graph
+    (AbstractGraph::OutputGML, GraphUtils.cpp:1187-1256): 1-based node
+    ids in creation order (contig then its _R twin), directed edges in
+    (source, target) scan order. `graph` is the dict populated by
+    merge_contigs(..., graph_out=...)."""
+    def node_name(v):
+        return f"{names[v // 2]}{'_R' if v & 1 else ''}"
+    N = graph.get("n", 0)
+    # byte-exact stream mirror, including the header-label quirk: the
+    # quoted label ends in '\n"' with no trailing newline, so the first
+    # 'node [' is glued onto the closing quote ('"node [')
+    s = "graph [\n"
+    s += 'comment "Automatically generated by Graphing tool"'
+    s += "\ndirected  1\n"
+    s += "id  1\n"
+    s += 'label "To be more meaningful later....\n"'
+    for v in range(N):
+        s += ("node [\n" + f"id {v + 1}\n" + f'label "{node_name(v)}"\n'
+              + "defaultAtrribute   1\n]\n")
+    for (u, v) in sorted(graph.get("edges", {})):
+        s += ("edge [\n" + f"source {u + 1}\n" + f"target  {v + 1}\n"
+              + 'label ""\n]\n')
+    return s + "\n]\n"
+
+
+def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig,
+                  graph_out: dict | None = None):
     """Returns (merged list of np arrays, info list of node-index paths).
 
     Node space interleaved like the reference's creation order
     (ContigsCompactor.cpp:794-799): node 2i = contig i, node 2i+1 =
     its revcomp twin.
+
+    graph_out: optional dict populated with the overlap digraph
+    ({"n": node count, "edges": {(u, v): (overlap,)}}) for the GML
+    dump (merge_graph_gml) and other diagnostics.
     """
     n = len(contigs)
     if n == 0:
+        if graph_out is not None:
+            graph_out.update(n=0, edges={})
         return [], []
     # node order INTERLEAVED like the reference (contig then its twin:
     # ContigsCompactor.cpp:794-799) — the set<Node*> orderings that
@@ -462,6 +495,8 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
             "max_out_edges=%d — set max_out_edges=0 for "
             "reference-exact behavior", truncated_out, cfg.max_out_edges)
 
+    if graph_out is not None:
+        graph_out.update(n=N, edges=dict(edges))
     if not edges:
         return [], []
 

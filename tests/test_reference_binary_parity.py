@@ -204,3 +204,18 @@ def test_merge_info_matches_reference_binary(ref_binary, tmp_path, rng):
         return sorted(out)
 
     assert members_of(lines) == members_of(ref_info)
+
+
+def test_merge_gml_matches_reference_binary(ref_binary, tmp_path, rng):
+    """tmp.gml graph dump: byte-exact parity with the binary's
+    OutputGML (GraphUtils.cpp:1187-1256) on a merge scenario."""
+    from gappadder_tpu.ops.merge_engine import merge_graph_gml
+    truth = rng.integers(0, 4, 700).astype(np.int8)
+    frags = [truth[0:300], truth[250:520], truth[470:700]]
+    names = [f"c{i}" for i in range(len(frags))]
+    run_reference_merger(ref_binary, frags, names, str(tmp_path))
+    ref_gml = open(os.path.join(str(tmp_path), "tmp.gml")).read()
+    graph = {}
+    merge_contigs([np.asarray(f) for f in frags], MergeConfig(),
+                  graph_out=graph)
+    assert merge_graph_gml(names, graph) == ref_gml
