@@ -103,19 +103,25 @@ def run_pipeline(tmp):
     genome = fasta.read_fasta(cfg.draft_genome)
     truth = fasta.read_fasta(str(tmp / "truth.fa"))
 
+    def rss():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
     t0 = time.time()
     gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
     t1 = time.time()
-    print(f"preprocess: {t1-t0:.1f}s ({len(gaps['start'])} gaps)")
+    print(f"preprocess: {t1-t0:.1f}s ({len(gaps['start'])} gaps) "
+          f"[peak RSS {rss():.2f} GB]")
     rec, readsets = collect.run_collect(cfg, ws, genome=genome)
     t2 = time.time()
-    print(f"collect: {t2-t1:.1f}s ({len(rec['gap'])} recruits)")
+    print(f"collect: {t2-t1:.1f}s ({len(rec['gap'])} recruits) "
+          f"[peak RSS {rss():.2f} GB]")
     fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
                                                readsets=readsets,
                                                genome=genome)
     t3 = time.time()
     print(f"assembly+pick: {t3-t2:.1f}s "
-          f"({len(fills)} closed, {len(exts)} extended)")
+          f"({len(fills)} closed, {len(exts)} extended) "
+          f"[peak RSS {rss():.2f} GB]")
 
     ok = 0
     for g, (seq, _name) in fills.items():

@@ -43,6 +43,13 @@ def test_cli_all_and_resume(tmp_path, rng, capsys):
     filled = dict(fasta.iter_fasta(tmp_path / "work/filled_scaffolds.fa"))
     assert dna.decode(filled["scaf0"]) == truth
 
+    # merge provenance file (ContigsMerger .merge.info equivalent)
+    # exists; any lines follow '<gap_id>\tNEW_CONTIG_MERGE_<i>  ...'
+    minfo = (tmp_path / "work/merge_info.txt").read_text()
+    for ln in minfo.splitlines():
+        gid, rest = ln.split("\t", 1)
+        assert gid == "0_1" and rest.startswith("NEW_CONTIG_MERGE_")
+
     # resume: stages skip as up-to-date
     rc = main(["-c", "All", "-g", str(tmp_path / "config.json")])
     assert rc == 0
