@@ -212,14 +212,28 @@ def _assemble_gaps(cfg, gap_list, per_gap, readsets, L, contig_store, mcfg,
                     nreads = jax.device_put(nreads, dp)
                 contigs = assemble.assemble_gap_batch(
                     cfg, seq, rlen, nreads, max_distinct=md_of[R])
-            for i, g in enumerate(batch):
-                raw = [np.asarray(contigs.seq[i][j][:int(contigs.length[i][j])])
-                       for j in range(int(contigs.count[i]))]
+            # per-gap refine: gaps are independent, and on a tunneled
+            # TPU each gap costs several small device dispatches
+            # (dedup/merge DP) whose LATENCY dominates — overlap them
+            # with a thread pool (JAX dispatch is thread-safe; results
+            # applied in batch order, so output is deterministic)
+            def _refine_one(ig):
+                i, g = ig
+                raw = [np.asarray(
+                    contigs.seq[i][j][:int(contigs.length[i][j])])
+                    for j in range(int(contigs.count[i]))]
                 clist, cnames, ilines = refine_contigs(
                     raw, contigs.names[i], mcfg)
-                if minfo is not None and ilines:
-                    minfo[g] = ilines
-                contig_store[g] = _tuple_from_list(clist, cnames)
+                return g, _tuple_from_list(clist, cnames), ilines
+
+            from concurrent.futures import ThreadPoolExecutor
+            nw = min(8, max(len(batch), 1))
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                for g, tup, ilines in ex.map(_refine_one,
+                                             enumerate(batch)):
+                    if minfo is not None and ilines:
+                        minfo[g] = ilines
+                    contig_store[g] = tup
 
 
 def _pick_gaps(cfg, gaps, gap_list, contig_store, fills, exts, min_score,
@@ -327,20 +341,29 @@ def run_assembly_and_pick(cfg: Config, ws: Workspace, rec=None,
         if hq and int(g) in set(open_gaps):
             hq_per_gap.setdefault(int(g), []).append(
                 (int(li), int(side), int(row)))
-    for g in open_gaps:
+    def _hq_one(g):
         if g not in contig_store:
-            continue
+            return g, None, None
         pseudo = rescue.hq_pseudo_contigs(cfg, g, contig_store, readsets,
                                           hq_per_gap.get(g, []))
-        if pseudo:
-            s, l, n, nm = contig_store[g]
-            clist = [np.asarray(s[i][:int(l[i])]) for i in range(n)] + pseudo
-            names = nm + [f"hqread_{i}" for i in range(len(pseudo))]
-            clist, names, ilines = refine_contigs(clist, names, mcfg)
+        if not pseudo:
+            return g, None, None
+        s, l, n, nm = contig_store[g]
+        clist = [np.asarray(s[i][:int(l[i])]) for i in range(n)] + pseudo
+        names = nm + [f"hqread_{i}" for i in range(len(pseudo))]
+        clist, names, ilines = refine_contigs(clist, names, mcfg)
+        return g, _tuple_from_list(clist, names), ilines
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, max(len(open_gaps), 1))) \
+            as ex:
+        for g, tup, ilines in ex.map(_hq_one, open_gaps):
+            if tup is None:
+                continue
             if ilines:
                 minfo[g] = ilines    # last merge run wins, like the
                 #                      binary overwriting its -o file
-            contig_store[g] = _tuple_from_list(clist, names)
+            contig_store[g] = tup
     _pick_gaps(cfg, gaps, open_gaps, contig_store, fills, exts,
                cfg.pick_min_score_final, allow_extension=True)
 
