@@ -70,6 +70,8 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from .utils.warmup import start_background_warmup
+    start_background_warmup()   # absorb the tunnel's first-transfer stall
 
     cfg = load_config(args.config)
     ws = Workspace(cfg.workdir)

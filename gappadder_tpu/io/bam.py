@@ -318,6 +318,13 @@ def write_bam(path: str, refs: list[tuple[str, int]], records,
                     bsize = struct.unpack_from("<H", extra, eoff + 4)[0] + 1
                 eoff += 4 + slen
             off += bsize
+        # the EOF block's offset terminates the table: when the payload
+        # length is an exact multiple of the block size, the final
+        # record's chunk-END virtual offset is (payload_len, 0), which
+        # must map to the start of the EOF block — clamping it into the
+        # last DATA block would invert the chunk and make index-based
+        # readers skip that block's records (ADVICE r3)
+        coffs.append(len(compressed) - len(_BGZF_EOF))
         with open(path + ".bai", "wb") as fh:
             fh.write(_build_bai(len(refs), spans, coffs or [0]))
 

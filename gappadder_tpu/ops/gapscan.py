@@ -125,6 +125,16 @@ def extract_flanks(seq, starts, ends, scaf_begin, scaf_end,
             left_len.astype(jnp.int32), right_len.astype(jnp.int32))
 
 
+def length_bucket(n: int) -> int:
+    """Pad a length up to {1, 1.5} * 2^k — coarse enough that drafts of
+    similar size share compiled shapes (remote TPU compiles are the
+    cold-run cost), fine enough to bound padding waste at 33%."""
+    if n <= 1024:
+        return 1024
+    p = 1 << (n - 1).bit_length()
+    return (p * 3) // 4 if n <= (p * 3) // 4 else p
+
+
 def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
     """Host convenience wrapper: run the jitted scan on a Genome and
     return a dict of numpy columns with per-scaffold gap numbering."""
@@ -142,6 +152,12 @@ def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
         starts_mask[1:] &= ~is_gap[:-1]
         n_runs = max(16, int(starts_mask.sum()))
         max_gaps = 1 << (n_runs - 1).bit_length()
+    # SEP-pad the genome axis to a shared shape bucket (SEP opens a new
+    # empty scaffold segment, so no run can span or qualify in it)
+    Lb = length_bucket(seq.shape[0])
+    if Lb != seq.shape[0]:
+        seq = np.concatenate([seq, np.full(Lb - seq.shape[0], dna.SEP,
+                                           np.int8)])
     starts, ends, count = find_gap_runs(jnp.asarray(seq), min_gap_size, max_gaps)
     n = int(count)
     starts = np.asarray(starts)[:n]

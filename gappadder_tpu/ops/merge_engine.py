@@ -118,50 +118,65 @@ def _sw_batch_np(queries, targets, mode, params, end_slack=0):
     return sw_ragged(queries, targets, params, mode, end_slack=end_slack)
 
 
-def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
-    """Indices of contigs to KEEP after duplicate/containment removal."""
-    n = len(contigs)
-    if n <= 1:
-        return list(range(n))
-    # exact dups
-    seen: dict[bytes, int] = {}
-    keep = [True] * n
-    for i, c in enumerate(contigs):
-        key = c.tobytes()
-        rkey = dna.revcomp(c).tobytes()
-        if key in seen or rkey in seen:
-            keep[i] = False
-        else:
-            seen[key] = i
-    # sketch-pruned near-dup / containment (vectorized pair screen)
-    sketches = np.stack([_sketch(c, cfg.kmer_len) for c in contigs])
-    shared = _shared_matrix(sketches, sketches)
-    lens = np.array([len(c) for c in contigs])
-    keep_arr = np.array(keep)
-    need = np.minimum(np.maximum(
-        (0.5 * np.minimum(lens, cfg.window) - cfg.kmer_len), 1), 32)
-    cand = (shared >= need[:, None]) & keep_arr[:, None] & keep_arr[None, :] \
-        & (lens[:, None] <= lens[None, :]) & \
-        ~np.eye(n, dtype=bool)
-    pairs = [(int(i), int(j)) for i, j in zip(*np.nonzero(cand))]
-    if pairs:
-        qs = [contigs[i] for i, _ in pairs]
-        ts = [contigs[j] for _, j in pairs]
+def dedup_contigs_multi(contig_lists, cfg: MergeConfig):
+    """Batched dedup over many gaps' contig lists: one device SW batch
+    for ALL gaps' candidate pairs (decisions stay per-gap and match
+    dedup_contigs exactly). Returns a keep-index list per gap."""
+    G = len(contig_lists)
+    keeps: list[list[bool]] = []
+    pend: list[tuple[int, int, int]] = []    # (gap, i, j) in-gap order
+    for contigs in contig_lists:
+        n = len(contigs)
+        keep = [True] * n
+        keeps.append(keep)
+        if n <= 1:
+            continue
+        # exact dups
+        seen: dict[bytes, int] = {}
+        for i, c in enumerate(contigs):
+            key = c.tobytes()
+            rkey = dna.revcomp(c).tobytes()
+            if key in seen or rkey in seen:
+                keep[i] = False
+            else:
+                seen[key] = i
+        # sketch-pruned near-dup / containment (vectorized pair screen)
+        sketches = np.stack([_sketch(c, cfg.kmer_len) for c in contigs])
+        shared = _shared_matrix(sketches, sketches)
+        lens = np.array([len(c) for c in contigs])
+        keep_arr = np.array(keep)
+        need = np.minimum(np.maximum(
+            (0.5 * np.minimum(lens, cfg.window) - cfg.kmer_len), 1), 32)
+        cand = (shared >= need[:, None]) & keep_arr[:, None] \
+            & keep_arr[None, :] & (lens[:, None] <= lens[None, :]) & \
+            ~np.eye(n, dtype=bool)
+        gi = len(keeps) - 1
+        pend += [(gi, int(i), int(j)) for i, j in zip(*np.nonzero(cand))]
+    if pend:
+        qs = [contig_lists[g][i] for g, i, _ in pend]
+        ts = [contig_lists[g][j] for g, _, j in pend]
         # check both strands: query vs target and revcomp
         s1, _, _ = _sw_batch_np(qs, ts, "local", SWParams(1, -4, 7, 1))
         rs = [dna.revcomp(q) for q in qs]
         s2, _, _ = _sw_batch_np(rs, ts, "local", SWParams(1, -4, 7, 1))
-        for (i, j), sc1, sc2 in zip(pairs, s1, s2):
+        for (g, i, j), sc1, sc2 in zip(pend, s1, s2):
+            keep = keeps[g]
             if not (keep[i] and keep[j]):
                 continue
             sc = max(sc1, sc2)
-            li, lj = len(contigs[i]), len(contigs[j])
+            li = len(contig_lists[g][i])
+            lj = len(contig_lists[g][j])
             if sc >= cfg.dedup_cutoff * li:
                 if li < lj:                 # contained (-K)
                     keep[i] = False
                 elif lj * (1.0 - cfg.dedup_cutoff) >= abs(li - lj) and i > j:
                     keep[i] = False         # near-dup (-P), drop higher idx
-    return [i for i in range(n) if keep[i]]
+    return [[i for i in range(len(k)) if k[i]] for k in keeps]
+
+
+def dedup_contigs(contigs: list[np.ndarray], cfg: MergeConfig):
+    """Indices of contigs to KEEP after duplicate/containment removal."""
+    return dedup_contigs_multi([contigs], cfg)[0]
 
 
 # Evaluate return codes (ContigsCompactor.cpp:1566-1570)
@@ -250,6 +265,53 @@ def _overlap_H_batch(pairs_seqs):
 _BATCH_CELL_BUDGET = 64 << 20
 
 
+def _eval_code(n: int, m: int, best: int, pr: int, pc: int, nc: int,
+               cfg: MergeConfig) -> int:
+    """IsScoreSignificant (ContigsCompactor.cpp:1876-1976)."""
+    ov0 = min(n, m)
+    ov1 = pc if pr + nc == n else ov0
+    ov2 = pr if pc + nc == m else ov0
+    ov = min(ov0, ov1, ov2)
+    if ov < n * cfg.min_frac_overlap and ov < m * cfg.min_frac_overlap:
+        return OVERLAP_SMALLER
+    if pr + nc == n and pc + 5 - 1 >= m:
+        return OVERLAP_SMALLER               # no >=5bp extension
+    if pc + nc == m and pr + 5 - 1 >= n:
+        return OVERLAP_SMALLER
+    if best < ov * (1.0 - cfg.frac_score_loss):
+        return OVERLAP_SMALLER
+    if ov < cfg.min_overlap_len_scaffold:
+        return OVERLAP_SMALLER
+    if ov < cfg.min_overlap_len:
+        return OVERLAP_IN_RANGE
+    return OVERLAP_LARGER_MINLEN
+
+
+def _finish_eval(s1, s2, best, pr, pc, nc, ends_i0: bool, ends_j0: bool,
+                 code: int) -> EvalResult:
+    """Containment flags + merged string, given the winning end cell
+    and the traceback ENDPOINT flags (i==0 / j==0 at the stop cell)."""
+    n, m = len(s1), len(s2)
+    bcontained = (pr + nc == n and ends_i0) or (pc + nc == m and ends_j0)
+    # edge-veto containment (IsContainment, ContigsCompactor.cpp:
+    # 155-159): deliberately weaker — a prefix-contained seq1 with
+    # posColEnd == len1 does NOT veto the edge (len1 < posColEnd fails)
+    is_containment = bcontained and (
+        (pr + nc == n and n < pc) or (pc + nc == m and m < pr))
+
+    # ---- merged string = SetMergedStringConcat (:108-153) ---------------
+    if bcontained and pr + nc == n and n < m:
+        merged = np.asarray(s2, np.int8)
+    elif bcontained and pc + nc == m and m < n:
+        merged = np.asarray(s1, np.int8)
+    elif pr + nc == n:
+        merged = np.concatenate([s1[:n - nc], s2[pc:]]).astype(np.int8)
+    else:
+        merged = np.concatenate([s2[:m - nc], s1[pr:]]).astype(np.int8)
+    return EvalResult(code, best, pr, pc, nc, bcontained,
+                      is_containment, merged)
+
+
 def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
                   relax: bool = False, H=None) -> EvalResult:
     """EXACT reference pair evaluation (ContigsCompactor::Evaluate,
@@ -258,7 +320,10 @@ def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
     c = 0..max_clip_len, column before row, ascending index, strict
     improvement) decides direction, ends, containment and the merged
     string; relax skips the significance check (FormMergedSeqFromPath
-    mode).  H: optional precomputed DP matrix (_overlap_H_batch)."""
+    mode).  H: optional precomputed DP matrix (_overlap_H_batch).
+
+    This is the host oracle; the production path is evaluate_pairs
+    (batched device kernel, bit-identical)."""
     if H is None:
         H = _overlap_H(s1, s2)
     n, m = len(s1), len(s2)
@@ -278,31 +343,16 @@ def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
 
     code = OVERLAP_LARGER_MINLEN
     if not relax:
-        ov0 = min(n, m)
-        ov1 = pc if pr + nc == n else ov0
-        ov2 = pr if pc + nc == m else ov0
-        ov = min(ov0, ov1, ov2)
-        if ov < n * cfg.min_frac_overlap and ov < m * cfg.min_frac_overlap:
-            code = OVERLAP_SMALLER
-        elif pr + nc == n and pc + 5 - 1 >= m:
-            code = OVERLAP_SMALLER            # no >=5bp extension
-        elif pc + nc == m and pr + 5 - 1 >= n:
-            code = OVERLAP_SMALLER
-        elif best < ov * (1.0 - cfg.frac_score_loss):
-            code = OVERLAP_SMALLER
-        elif ov < cfg.min_overlap_len_scaffold:
-            code = OVERLAP_SMALLER
-        elif ov < cfg.min_overlap_len:
-            code = OVERLAP_IN_RANGE
+        code = _eval_code(n, m, best, pr, pc, nc, cfg)
         if code == OVERLAP_SMALLER:           # early return, no traceback
             return EvalResult(code, best, pr, pc, nc, False, False,
                               np.zeros(0, np.int8))
 
-    # ---- traceback start -> bcontained ----------------------------------
+    # ---- traceback start -> endpoint flags ------------------------------
     # (only the walk's endpoint matters: the reference's
     # traceback-merged string is DEAD CODE — SetMergedString is
     # commented out at ContigsCompactor.cpp:1847; GetMerged() returns
-    # the SetMergedStringConcat form below)
+    # the SetMergedStringConcat form in _finish_eval)
     i, j = pr, pc
     mm = MERGE_PARAMS.mismatch
     ind = -MERGE_PARAMS.gap_open
@@ -320,24 +370,34 @@ def evaluate_pair(s1: np.ndarray, s2: np.ndarray, cfg: MergeConfig,
         else:
             i -= 1
             j -= 1
-    bcontained = (pr + nc == n and i == 0) or (pc + nc == m and j == 0)
-    # edge-veto containment (IsContainment, ContigsCompactor.cpp:
-    # 155-159): deliberately weaker — a prefix-contained seq1 with
-    # posColEnd == len1 does NOT veto the edge (len1 < posColEnd fails)
-    is_containment = bcontained and (
-        (pr + nc == n and n < pc) or (pc + nc == m and m < pr))
+    return _finish_eval(s1, s2, best, pr, pc, nc, i == 0, j == 0, code)
 
-    # ---- merged string = SetMergedStringConcat (:108-153) ---------------
-    if bcontained and pr + nc == n and n < m:
-        merged = np.asarray(s2, np.int8)
-    elif bcontained and pc + nc == m and m < n:
-        merged = np.asarray(s1, np.int8)
-    elif pr + nc == n:
-        merged = np.concatenate([s1[:n - nc], s2[pc:]]).astype(np.int8)
-    else:
-        merged = np.concatenate([s2[:m - nc], s1[pr:]]).astype(np.int8)
-    return EvalResult(code, best, pr, pc, nc, bcontained,
-                      is_containment, merged)
+
+def evaluate_pairs(pairs_seqs, cfg: MergeConfig,
+                   relax: bool = False) -> list[EvalResult]:
+    """Batched Evaluate over many (s1, s2) pairs: the WHOLE DP — fill,
+    end scan, winner selection, traceback-endpoint flags — runs in the
+    device kernel (ops/evaluate_dp.py), one dispatch + one small
+    readback per shape bucket; the host only applies the significance
+    code and concatenates the merged string. Bit-identical to
+    evaluate_pair on every pair (tested)."""
+    from . import evaluate_dp
+    res = evaluate_dp.eval_pairs_device(
+        pairs_seqs, cfg.max_clip_len, match=MERGE_PARAMS.match,
+        mismatch=MERGE_PARAMS.mismatch, ind=-MERGE_PARAMS.gap_open)
+    out: list[EvalResult] = []
+    for (s1, s2), row in zip(pairs_seqs, res):
+        best, pr, pc, nc, ei0, ej0 = (int(x) for x in row)
+        n, m = len(s1), len(s2)
+        code = (OVERLAP_LARGER_MINLEN if relax
+                else _eval_code(n, m, best, pr, pc, nc, cfg))
+        if code == OVERLAP_SMALLER:
+            out.append(EvalResult(code, best, pr, pc, nc, False, False,
+                                  np.zeros(0, np.int8)))
+        else:
+            out.append(_finish_eval(s1, s2, best, pr, pc, nc,
+                                    bool(ei0), bool(ej0), code))
+    return out
 
 
 def merge_info_lines(names: list[str], infos: list[list[int]]):
@@ -379,6 +439,159 @@ def merge_graph_gml(names: list[str], graph: dict) -> str:
     return s + "\n]\n"
 
 
+def merge_contigs_multi(contig_lists, cfg: MergeConfig,
+                        graph_outs=None):
+    """Batched merge over many gaps' contig lists.
+
+    Per-gap semantics are identical to merge_contigs (same node order,
+    candidate order, edge insertion order, path selection); batching
+    only groups the device work: ONE overlap-screen dispatch and ONE
+    exact-Evaluate dispatch (per shape bucket) cover every gap's
+    surviving pairs, and path splicing runs level-synchronously — all
+    paths' step-i relax evaluations share a dispatch. On a tunneled
+    TPU this turns O(gaps * pairs) round trips into O(path length).
+
+    Returns a list of (merged, infos) per gap; graph_outs, if given,
+    is a parallel list of dicts to fill like merge_contigs' graph_out.
+    """
+    G = len(contig_lists)
+    results: list[tuple[list, list]] = [([], []) for _ in range(G)]
+    nodes_of: list[list[np.ndarray]] = []
+    all_pairs: list[tuple[int, int, int]] = []    # (gap, a, b)
+    k = cfg.kmer_len
+    WIN = 30
+    for gi, contigs in enumerate(contig_lists):
+        # node order INTERLEAVED like the reference (contig then its
+        # twin: ContigsCompactor.cpp:794-799) — the set<Node*>
+        # orderings that drive candidate picks and revcomp-path dedup
+        # follow creation order, so parity requires the same
+        # numbering. Twin of v = v ^ 1.
+        nodes: list[np.ndarray] = []
+        for c in contigs:
+            nodes.append(np.asarray(c, np.int8))
+            nodes.append(dna.revcomp(c))
+        nodes_of.append(nodes)
+        if graph_outs is not None:
+            graph_outs[gi].update(n=len(nodes), edges={})
+        if not contigs:
+            continue
+        N = len(nodes)
+        # reference quick check (QuickCheckerContigsMatch, :1982-2096):
+        # pair (i, j) is feasible when ANY k-mer of seq j's first or
+        # last 30 bp occurs ANYWHERE in seq i. Pairs enumerated i <= j
+        # in lexicographic order (runMultiThreadChecker); i == j always
+        # ends in containment, so it is skipped here.
+        whole = [set(_kmer_hashes(s, k).tolist()) for s in nodes]
+        wins = []
+        for s in nodes:
+            w = set(_kmer_hashes(s[:WIN], k).tolist())
+            w |= set(_kmer_hashes(s[-WIN:], k).tolist())
+            wins.append(w)
+        pairs = [(i, j) for i in range(N) for j in range(i + 1, N)
+                 if wins[j] & whole[i]]
+        if len(pairs) > cfg.max_candidates:
+            log.warn_cap(
+                "merge_candidates_truncated",
+                "overlap-candidate screen kept %d of %d pairs "
+                "(max_candidates); later pairs dropped — raise "
+                "max_candidates for reference-exact behavior",
+                cfg.max_candidates, len(pairs))
+            pairs = pairs[:cfg.max_candidates]
+        all_pairs += [(gi, a, b) for a, b in pairs]
+
+    if not all_pairs:
+        return results
+
+    # device screen: batched overlap scores upper-bound the exact
+    # evaluation; pairs that cannot reach the minimum significant
+    # score skip the exact DP (the reference pays the full DP per pair)
+    qs = [nodes_of[g][a] for g, a, _ in all_pairs]
+    ts = [nodes_of[g][b] for g, _, b in all_pairs]
+    s, _qe, _te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
+                               end_slack=cfg.max_clip_len)
+    floor = int(np.ceil(cfg.min_overlap_len_scaffold *
+                        (1.0 - cfg.frac_score_loss)))
+    surv = [(g, a, b) for (g, a, b), sc in zip(all_pairs, s)
+            if int(sc) >= floor]
+
+    # one exact evaluation per unordered pair; the winning end decides
+    # the direction (threadMergeContigV2, ContigsCompactor.cpp:623-693).
+    # The device kernel evaluates every gap's surviving pairs together;
+    # edges are inserted in original per-gap pair order (a parity-
+    # bearing tie-break).
+    evs = evaluate_pairs([(nodes_of[g][a], nodes_of[g][b])
+                          for g, a, b in surv], cfg)
+    edges_of: dict[int, dict] = {}
+    adj_of: dict[int, dict] = {}
+    truncated_out = 0
+    for (g, a, b), r in zip(surv, evs):
+        if r.code != OVERLAP_LARGER_MINLEN or r.is_containment:
+            continue
+        nodes = nodes_of[g]
+        ovsz = r.overlap_size(len(nodes[a]), len(nodes[b]))
+        if r.pos_row + r.nclip == len(nodes[a]):
+            u, v = a, b                      # MODE_1_2: seq1 first
+        else:
+            u, v = b, a                      # MODE_2_1
+        adj = adj_of.setdefault(g, {})
+        lst = adj.setdefault(u, [])
+        if cfg.max_out_edges and len(lst) >= cfg.max_out_edges:
+            truncated_out += 1
+            continue
+        lst.append(v)
+        edges_of.setdefault(g, {})[(u, v)] = (ovsz,)
+    if truncated_out:
+        log.warn_cap(
+            "merge_out_edges_truncated",
+            "merge graph dropped %d outgoing overlap edge(s) beyond "
+            "max_out_edges=%d — set max_out_edges=0 for "
+            "reference-exact behavior", truncated_out, cfg.max_out_edges)
+
+    # per-gap path enumeration (host graph algorithms), then LEVEL-
+    # SYNCHRONOUS splicing: FormMergedSeqFromPath
+    # (ContigsCompactor.cpp:1456-1515) re-evaluates left-to-right in
+    # relax mode; step i of every path (across all gaps) shares one
+    # batched device evaluation.
+    tasks: list[tuple[int, tuple[int, ...]]] = []    # (gap, path)
+    for g, edges in edges_of.items():
+        if graph_outs is not None:
+            graph_outs[g].update(n=len(nodes_of[g]), edges=dict(edges))
+        paths = enumerate_paths(len(nodes_of[g]), edges, cfg,
+                                adj=adj_of[g])
+        n_taken = 0
+        for pi, path in enumerate(paths):
+            if len(path) <= 1:
+                continue                # reference emits len>1 only
+            if n_taken >= cfg.max_paths_per_gap:
+                log.warn_cap(
+                    "merge_paths_truncated",
+                    "max_paths_per_gap=%d reached; %d merged path(s) "
+                    "dropped", cfg.max_paths_per_gap,
+                    sum(1 for p in paths[pi:] if len(p) > 1))
+                break
+            tasks.append((g, path))
+            n_taken += 1
+
+    cur = [nodes_of[g][p[0]] for g, p in tasks]
+    step_i = 1
+    while True:
+        idx = [t for t, (g, p) in enumerate(tasks) if len(p) > step_i]
+        if not idx:
+            break
+        evs = evaluate_pairs(
+            [(cur[t], nodes_of[tasks[t][0]][tasks[t][1][step_i]])
+             for t in idx], cfg, relax=True)
+        for t, r in zip(idx, evs):
+            cur[t] = r.merged
+        step_i += 1
+
+    for (g, path), seq in zip(tasks, cur):
+        merged, infos = results[g]
+        merged.append(seq)
+        infos.append(list(path))
+    return results
+
+
 def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig,
                   graph_out: dict | None = None):
     """Returns (merged list of np arrays, info list of node-index paths).
@@ -391,139 +604,8 @@ def merge_contigs(contigs: list[np.ndarray], cfg: MergeConfig,
     ({"n": node count, "edges": {(u, v): (overlap,)}}) for the GML
     dump (merge_graph_gml) and other diagnostics.
     """
-    n = len(contigs)
-    if n == 0:
-        if graph_out is not None:
-            graph_out.update(n=0, edges={})
-        return [], []
-    # node order INTERLEAVED like the reference (contig then its twin:
-    # ContigsCompactor.cpp:794-799) — the set<Node*> orderings that
-    # drive candidate picks and revcomp-path dedup follow creation
-    # order, so parity requires the same numbering. Twin of v = v ^ 1.
-    nodes: list[np.ndarray] = []
-    for c in contigs:
-        nodes.append(np.asarray(c, np.int8))
-        nodes.append(dna.revcomp(c))
-    N = len(nodes)
-    k = cfg.kmer_len
-
-    # reference quick check (QuickCheckerContigsMatch, :1982-2096):
-    # pair (i, j) is feasible when ANY k-mer of seq j's first or last
-    # 30 bp occurs ANYWHERE in seq i. Pairs enumerated i <= j in
-    # lexicographic order (runMultiThreadChecker); i == j always ends
-    # in containment, so it is skipped here.
-    WIN = 30
-    whole = [set(_kmer_hashes(s, k).tolist()) for s in nodes]
-    wins = []
-    for s in nodes:
-        w = set(_kmer_hashes(s[:WIN], k).tolist())
-        w |= set(_kmer_hashes(s[-WIN:], k).tolist())
-        wins.append(w)
-    pairs = [(i, j) for i in range(N) for j in range(i + 1, N)
-             if wins[j] & whole[i]]
-    if not pairs:
-        return [], []
-    if len(pairs) > cfg.max_candidates:
-        log.warn_cap(
-            "merge_candidates_truncated",
-            "overlap-candidate screen kept %d of %d pairs "
-            "(max_candidates); later pairs dropped — raise "
-            "max_candidates for reference-exact behavior",
-            cfg.max_candidates, len(pairs))
-        pairs = pairs[:cfg.max_candidates]
-
-    # device screen: batched overlap scores upper-bound the exact
-    # evaluation; pairs that cannot reach the minimum significant
-    # score skip the host DP (the reference pays the full DP per pair)
-    qs = [nodes[a] for a, _ in pairs]
-    ts = [nodes[b] for _, b in pairs]
-    s, _qe, _te = _sw_batch_np(qs, ts, "overlap", MERGE_PARAMS,
-                               end_slack=cfg.max_clip_len)
-    floor = int(np.ceil(cfg.min_overlap_len_scaffold *
-                        (1.0 - cfg.frac_score_loss)))
-
-    # one exact evaluation per unordered pair; the winning end decides
-    # the direction (threadMergeContigV2, ContigsCompactor.cpp:623-693).
-    # Surviving pairs fill their DP matrices in shared batched sweeps.
-    surv = [(a, b) for (a, b), sc in zip(pairs, s) if int(sc) >= floor]
-    # fill H size-sorted (keeps same-shaped pairs together so the
-    # bucket padding stays tight); EVALUATION below runs in original
-    # pair order — edge insertion order is a parity-bearing tie-break
-    H_by_pair: dict[tuple[int, int], np.ndarray] = {}
-    batch: list[tuple[int, int]] = []
-    n_mx = m_mx = 0
-    for a, b in sorted(surv, key=lambda p: (len(nodes[p[0]]),
-                                            len(nodes[p[1]]))):
-        n2 = max(n_mx, len(nodes[a]) + 1)
-        m2 = max(m_mx, len(nodes[b]) + 1)
-        if batch and (len(batch) + 1) * n2 * m2 > _BATCH_CELL_BUDGET:
-            for p_, h_ in zip(batch, _overlap_H_batch(
-                    [(nodes[x], nodes[y]) for x, y in batch])):
-                H_by_pair[p_] = h_
-            batch, n_mx, m_mx = [], 0, 0
-            n2 = len(nodes[a]) + 1
-            m2 = len(nodes[b]) + 1
-        batch.append((a, b))
-        n_mx, m_mx = n2, m2
-    if batch:
-        for p_, h_ in zip(batch, _overlap_H_batch(
-                [(nodes[x], nodes[y]) for x, y in batch])):
-            H_by_pair[p_] = h_
-
-    edges: dict[tuple[int, int], tuple[int]] = {}
-    adj: dict[int, list[int]] = {}
-    truncated_out = 0
-    for a, b in surv:
-        r = evaluate_pair(nodes[a], nodes[b], cfg, H=H_by_pair[(a, b)])
-        if r.code != OVERLAP_LARGER_MINLEN or r.is_containment:
-            continue
-        ovsz = r.overlap_size(len(nodes[a]), len(nodes[b]))
-        if r.pos_row + r.nclip == len(nodes[a]):
-            u, v = a, b                      # MODE_1_2: seq1 first
-        else:
-            u, v = b, a                      # MODE_2_1
-        lst = adj.setdefault(u, [])
-        if cfg.max_out_edges and len(lst) >= cfg.max_out_edges:
-            truncated_out += 1
-            continue
-        lst.append(v)
-        edges[(u, v)] = (ovsz,)
-    if truncated_out:
-        log.warn_cap(
-            "merge_out_edges_truncated",
-            "merge graph dropped %d outgoing overlap edge(s) beyond "
-            "max_out_edges=%d — set max_out_edges=0 for "
-            "reference-exact behavior", truncated_out, cfg.max_out_edges)
-
-    if graph_out is not None:
-        graph_out.update(n=N, edges=dict(edges))
-    if not edges:
-        return [], []
-
-    paths = enumerate_paths(N, edges, cfg, adj=adj)
-
-    def splice(p):
-        """FormMergedSeqFromPath (ContigsCompactor.cpp:1456-1515):
-        re-evaluate left-to-right in relax mode; the merged string is
-        the traceback merge of the running sequence with the next."""
-        seq = nodes[p[0]]
-        for b_ in p[1:]:
-            seq = evaluate_pair(seq, nodes[b_], cfg, relax=True).merged
-        return seq
-
-    merged, infos = [], []
-    for path in paths:
-        if len(path) <= 1:
-            continue                    # reference emits len>1 only
-        if len(merged) >= cfg.max_paths_per_gap:
-            log.warn_cap(
-                "merge_paths_truncated",
-                "max_paths_per_gap=%d reached; %d merged path(s) "
-                "dropped", cfg.max_paths_per_gap, len(paths) - len(merged))
-            break
-        merged.append(splice(path))
-        infos.append(list(path))
-    return merged, infos
+    outs = [graph_out] if graph_out is not None else None
+    return merge_contigs_multi([contigs], cfg, graph_outs=outs)[0]
 
 
 def _tarjan_scc(N: int, adj: dict[int, list[int]]) -> list[list[int]]:

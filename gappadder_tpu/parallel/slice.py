@@ -434,8 +434,12 @@ def check_overflow(dims: SliceDims, counts) -> None:
             f"{dims.max_distinct}): raise SliceDims.max_distinct")
 
 
+@functools.lru_cache(maxsize=64)
 def make_slice_step(mesh, dims: SliceDims):
-    """Jitted fused step over `mesh` (all axes flattened as dp)."""
+    """Jitted fused step over `mesh` (all axes flattened as dp).
+
+    Cached per (mesh, dims): rebuilding the jit every call would
+    re-trace the whole step even when the lowering is cached."""
     axes = tuple(mesh.axis_names)
     axis = axes[0] if len(axes) == 1 else axes
     in_specs, out_specs = step_specs(mesh)

@@ -92,17 +92,24 @@ def _assemble_step(egap, erow, ehq, reads_tbl, reads_len,
         [o_nodes, o_edges, n_raw_max, o_nk, n_recv[0],
          jnp.max(ucnt, initial=0), jnp.max(ulen, initial=0)]).astype(
         jnp.int32), axis)
-    return over, n_reads, useq, ulen, ucnt
+    # per-gap int32 metadata packed into ONE array so the host fetch is
+    # a single transfer (tunneled-device round trips are the cost)
+    meta = jnp.concatenate([n_reads[:, None], ulen, ucnt], axis=1)
+    return over, meta, useq
 
 
+@functools.lru_cache(maxsize=64)
 def make_assemble_step(mesh, dims: SliceDims):
+    """Cached per (mesh, dims): rebuilding the jit every call would
+    re-trace the whole step (~0.5 s host time) even when the lowering
+    is cached."""
     axes = tuple(mesh.axis_names)
     axis = axes[0] if len(axes) == 1 else axes
     dp, rep = P(axes), P()
     fn = functools.partial(_assemble_step, dims=dims, axis=axis)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=(dp, dp, dp, rep, rep),
-        out_specs=(rep,) + (dp,) * 4, check_vma=False))
+        out_specs=(rep, dp, dp), check_vma=False))
 
 
 def _mesh_size(mesh) -> int:
@@ -152,12 +159,19 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
           else cfg.max_distinct_kmers)
     auto_md = cfg.max_distinct_kmers == 0
     ncap_override = 0          # 0 = SliceDims auto formula
+    Lc_override = 0            # 0 = auto (tight start, grow on demand)
     warned_trunc = False
     while True:
         if cfg.max_contig_len > 0:
             Lc = cfg.max_contig_len
         else:
-            Lc = assemble._next_pow2(md + kmax)
+            # tight START: unitigs are usually region-sized, far below
+            # the md+k worst case; the o_ulen indicator grows this cap
+            # on demand (one extra run, cached shapes) — the padded
+            # contig arrays and downstream SW sweeps both scale with
+            # Lc, so starting tight is a direct TPU win
+            Lc = max(512, assemble._next_pow2(md // 4 + kmax),
+                     Lc_override)
         dims = SliceDims(
             n_shards=N, n_gaps=Gb, gaps_per_shard=Gl,
             entry_cap=E,
@@ -174,7 +188,7 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
         dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         rep = NamedSharding(mesh, P())
         from ..parallel import mp
-        over, n_reads, useq, ulen, ucnt = step(
+        over, meta, useq = step(
             mp.put_global(egap, dp), mp.put_global(erow, dp),
             mp.put_global(ehq, dp),
             mp.put_global(reads_tbl, rep),
@@ -214,21 +228,29 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
                          "at %d", mu, mu * 2)
             mu *= 2
             continue
-        if cfg.max_contig_len > 0 and o_ulen >= Lc:
-            log.warn_cap(
-                "contig_len_truncated",
-                "max_contig_len=%d truncated unitig(s): set "
-                "max_contig_len=0 (auto) for unbounded output", Lc)
+        if o_ulen >= Lc:
+            if cfg.max_contig_len > 0:
+                log.warn_cap(
+                    "contig_len_truncated",
+                    "max_contig_len=%d truncated unitig(s): set "
+                    "max_contig_len=0 (auto) for unbounded output", Lc)
+            else:
+                log.warn_cap(
+                    "contig_len_grow",
+                    "fused: contig-length cap %d saturated; retrying at "
+                    "%d", Lc, Lc * 2)
+                Lc_override = Lc * 2
+                continue
         break
 
     # ---- reassemble global order + compact + name -----------------------
     from ..parallel.mp import to_np
-    n_reads = to_np(n_reads)
+    meta = to_np(meta)
     useq = to_np(useq)
-    ulen = to_np(ulen)
-    ucnt = to_np(ucnt)           # [Gb, S] per-setting counts
     S = len(cfg.kmers)
     C = S * mu
+    ulen = meta[:, 1:1 + C]
+    ucnt = meta[:, 1 + C:1 + C + S]     # [Gb, S] per-setting counts
     out_seq = np.full((Gb, C, useq.shape[2]), dna.N, np.int8)
     out_len = np.zeros((Gb, C), np.int32)
     out_cnt = np.zeros(Gb, np.int32)

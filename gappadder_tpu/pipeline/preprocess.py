@@ -47,17 +47,32 @@ def run_preprocess(cfg: Config, ws: Workspace | None = None,
     scaf_begin = genome.offsets[scaf] if n else np.zeros(0, np.int64)
     scaf_end = (genome.offsets[scaf] + genome.lengths[scaf]) if n else np.zeros(0, np.int64)
 
+    # bucket both the genome axis and the gap axis so drafts of similar
+    # size reuse compiled shapes (remote-TPU compiles dominate cold runs)
+    seq = genome.seq
+    Lb = gapscan.length_bucket(max(seq.shape[0], 1))
+    if Lb != seq.shape[0]:
+        import gappadder_tpu.dna as dna
+        seq = np.concatenate([seq, np.full(Lb - seq.shape[0], dna.SEP,
+                                           np.int8)])
+    Gb = max(16, 1 << (max(n, 1) - 1).bit_length())
+
+    def _pad(a, fill, dtype=np.int32):
+        out = np.full(Gb, fill, dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
     left, right, left_len, right_len = gapscan.extract_flanks(
-        jnp.asarray(genome.seq),
-        jnp.asarray(gaps["start"], jnp.int32), jnp.asarray(gaps["end"], jnp.int32),
-        jnp.asarray(scaf_begin, jnp.int32), jnp.asarray(scaf_end, jnp.int32),
+        jnp.asarray(seq),
+        _pad(gaps["start"], -1), _pad(gaps["end"], -1),
+        _pad(scaf_begin, 0), _pad(scaf_end, 0),
         flank_len=cfg.flank_length, margin=cfg.flank_margin)
 
     table = dict(gaps)
-    table["flank_left"] = np.asarray(left)
-    table["flank_right"] = np.asarray(right)
-    table["flank_left_len"] = np.asarray(left_len)
-    table["flank_right_len"] = np.asarray(right_len)
+    table["flank_left"] = np.asarray(left)[:n]
+    table["flank_right"] = np.asarray(right)[:n]
+    table["flank_left_len"] = np.asarray(left_len)[:n]
+    table["flank_right_len"] = np.asarray(right_len)[:n]
 
     if ws is not None:
         from ..parallel import mp

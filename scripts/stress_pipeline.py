@@ -150,6 +150,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from gappadder_tpu.utils.warmup import start_background_warmup
+    start_background_warmup()
     sim_only = "--sim-only" in sys.argv
     run_only = "--run-only" in sys.argv
     tmp = None

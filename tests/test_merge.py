@@ -377,3 +377,105 @@ def test_candidate_cap_changes_answer_and_warns(rng):
         contigs, MergeConfig(max_candidates=3))[0]
     assert gtlog.cap_events("merge_candidates_truncated") > 0
     assert len(capped) < len(full)
+
+
+# ---------------------------------------------------------------------------
+# batched device Evaluate + multi-gap refine parity (round-4)
+# ---------------------------------------------------------------------------
+
+def _eval_cases(rng, n_pairs=60, lmax=300):
+    pairs = []
+    for i in range(n_pairs):
+        n = int(rng.integers(5, lmax))
+        m = int(rng.integers(5, lmax))
+        s1 = _rand(rng, n)
+        s2 = _rand(rng, m)
+        if i % 2 == 0:  # bias toward real overlaps, some with errors
+            k = int(rng.integers(4, min(n, m)))
+            s2[:k] = s1[-k:]
+            if rng.random() < 0.3:
+                s2[int(rng.integers(0, k))] ^= 1
+        pairs.append((s1, s2))
+    return pairs
+
+
+@pytest.mark.parametrize("relax", [False, True])
+def test_evaluate_pairs_device_matches_host_oracle(rng, relax):
+    """The device Evaluate kernel (fill + end scan + winner + endpoint
+    flags) is bit-identical to the host evaluate_pair oracle
+    (ContigsCompactor.cpp:1572-1874 semantics)."""
+    pairs = _eval_cases(rng)
+    for cfg in (MergeConfig(), MergeConfig(max_clip_len=7,
+                                           min_overlap_len=5)):
+        got = merge_engine.evaluate_pairs(pairs, cfg, relax=relax)
+        for (s1, s2), g in zip(pairs, got):
+            w = merge_engine.evaluate_pair(s1, s2, cfg, relax=relax)
+            assert (g.code, g.score, g.pos_row, g.pos_col, g.nclip,
+                    g.bcontained, g.is_containment) == \
+                   (w.code, w.score, w.pos_row, w.pos_col, w.nclip,
+                    w.bcontained, w.is_containment)
+            assert np.array_equal(g.merged, w.merged)
+
+
+def _chain_contigs(rng, n_contigs, seg=60, ov=25):
+    total = n_contigs * seg + ov
+    truth = _rand(rng, total)
+    out = []
+    for i in range(n_contigs):
+        out.append(truth[i * seg: i * seg + seg + ov].copy())
+    rng.shuffle(out)
+    return out
+
+
+def test_merge_contigs_multi_matches_per_gap(rng):
+    """Batching many gaps' merges into shared device dispatches gives
+    per-gap results identical to merge_contigs one gap at a time."""
+    cfg = MergeConfig()
+    gaps = []
+    for gi in range(6):
+        ncont = int(rng.integers(2, 5))
+        contigs = _chain_contigs(rng, ncont)
+        if gi % 3 == 2:          # some gaps with unrelated contigs
+            contigs.append(_rand(rng, 120))
+        gaps.append(contigs)
+    gaps.append([])              # empty gap in the batch
+    multi = merge_engine.merge_contigs_multi(gaps, cfg)
+    for contigs, (m_merged, m_infos) in zip(gaps, multi):
+        s_merged, s_infos = merge_engine.merge_contigs(contigs, cfg)
+        assert m_infos == s_infos
+        assert len(m_merged) == len(s_merged)
+        for a, b in zip(m_merged, s_merged):
+            assert np.array_equal(a, b)
+
+
+def test_dedup_contigs_multi_matches_per_gap(rng):
+    cfg = MergeConfig()
+    gaps = []
+    for _ in range(5):
+        a = _rand(rng, 200)
+        contigs = [a, a.copy(), dna.revcomp(a), _rand(rng, 150),
+                   a[20:180].copy()]
+        rng.shuffle(contigs)
+        gaps.append(contigs)
+    gaps.append([])
+    multi = merge_engine.dedup_contigs_multi(gaps, cfg)
+    for contigs, got in zip(gaps, multi):
+        assert got == merge_engine.dedup_contigs(contigs, cfg)
+
+
+def test_refine_contigs_multi_matches_per_gap(rng):
+    from gappadder_tpu.pipeline import run as run_mod
+    cfg = MergeConfig()
+    items = []
+    for gi in range(5):
+        contigs = _chain_contigs(rng, int(rng.integers(2, 4)))
+        contigs.append(contigs[0].copy())         # a duplicate to drop
+        names = [f"c{gi}_{i}" for i in range(len(contigs))]
+        items.append((contigs, names))
+    multi = run_mod.refine_contigs_multi(items, cfg)
+    for (contigs, names), (mc, mn, mi) in zip(items, multi):
+        sc, sn, si = run_mod.refine_contigs(contigs, names, cfg)
+        assert mn == sn and mi == si
+        assert len(mc) == len(sc)
+        for a, b in zip(mc, sc):
+            assert np.array_equal(a, b)
