@@ -39,7 +39,7 @@ class TpuParams:
     mesh_shape: tuple[int, ...] = (1,)
     mesh_axes: tuple[str, ...] = ("dp",)
     max_gaps: int = 1 << 16          # static bound for jitted gap scan
-    read_batch: int = 1 << 16        # reads per classification batch
+    read_batch: int = 1 << 17        # reads per classification batch
     gap_batch: int = 64              # gaps assembled per device batch
     gap_bucket_sizes: tuple[int, ...] = (1 << 10, 1 << 13, 1 << 16)
     use_pallas: bool = True          # fall back to pure-XLA kernels if False

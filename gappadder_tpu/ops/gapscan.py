@@ -125,6 +125,39 @@ def extract_flanks(seq, starts, ends, scaf_begin, scaf_end,
             left_len.astype(jnp.int32), right_len.astype(jnp.int32))
 
 
+def find_gap_runs_host(seq: np.ndarray, min_gap_size: int):
+    """Host (numpy) twin of find_gap_runs: same semantics, no device
+    round trip. The scan is O(L) elementwise work — for drafts below
+    HOST_SCAN_MAX the tunnel transfer would cost more than the whole
+    computation, so the pipeline uses this path there (tested equal to
+    the jit kernel). Returns (starts, ends) int64 arrays of kept runs
+    in order."""
+    is_gap = seq == dna.N
+    if not is_gap.any():
+        z = np.zeros(0, np.int64)
+        return z, z
+    d = np.diff(is_gap.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if is_gap[0]:
+        starts = np.concatenate([[0], starts])
+    if is_gap[-1]:
+        ends = np.concatenate([ends, [len(seq)]])
+    # trailing-run rule: an ACGT must follow within the same scaffold
+    is_acgt = seq < dna.N
+    seg = np.cumsum((seq == dna.SEP)[::-1].astype(np.int64))
+    enc = seg * 2 + is_acgt[::-1]
+    acgt_follows = (np.maximum.accumulate(enc) - seg * 2)[::-1] > 0
+    keep = (ends - starts >= min_gap_size) & acgt_follows[starts]
+    return starts[keep].astype(np.int64), ends[keep].astype(np.int64)
+
+
+# below this many bases the host scan wins outright (tunnel transfer +
+# dispatch latency dwarf the O(L) elementwise work); above it the
+# device kernels amortize and shard
+HOST_SCAN_MAX = 1 << 28
+
+
 def length_bucket(n: int) -> int:
     """Pad a length up to {1, 1.5} * 2^k — coarse enough that drafts of
     similar size share compiled shapes (remote TPU compiles are the
@@ -135,6 +168,36 @@ def length_bucket(n: int) -> int:
     return (p * 3) // 4 if n <= (p * 3) // 4 else p
 
 
+def extract_flanks_host(seq, starts, ends, scaf_begin, scaf_end,
+                        flank_len: int, margin: int = 5):
+    """Host (numpy) twin of extract_flanks (same semantics/outputs)."""
+    seq = np.asarray(seq)
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    scaf_begin = np.asarray(scaf_begin, np.int64)
+    scaf_end = np.asarray(scaf_end, np.int64)
+    pad = starts < 0
+
+    l_end = np.maximum(starts - margin, scaf_begin)
+    l_begin = np.maximum(starts - flank_len, scaf_begin)
+    left_len = np.where(pad, 0, np.maximum(l_end - l_begin, 0))
+    r_begin = np.minimum(ends + margin, scaf_end)
+    r_end = np.minimum(ends + flank_len, scaf_end)
+    right_len = np.where(pad, 0, np.maximum(r_end - r_begin, 0))
+
+    offs = np.arange(flank_len, dtype=np.int64)
+    l_idx = l_end[:, None] - left_len[:, None] + offs[None, :]
+    l_ok = offs[None, :] < left_len[:, None]
+    left = np.where(l_ok, seq[np.clip(l_idx, 0, max(len(seq) - 1, 0))],
+                    dna.N)
+    r_idx = r_begin[:, None] + offs[None, :]
+    r_ok = offs[None, :] < right_len[:, None]
+    right = np.where(r_ok, seq[np.clip(r_idx, 0, max(len(seq) - 1, 0))],
+                     dna.N)
+    return (left.astype(np.int8), right.astype(np.int8),
+            left_len.astype(np.int32), right_len.astype(np.int32))
+
+
 def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
     """Host convenience wrapper: run the jitted scan on a Genome and
     return a dict of numpy columns with per-scaffold gap numbering."""
@@ -143,25 +206,31 @@ def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
         z = np.zeros(0, np.int64)
         return {"start": z, "end": z, "scaffold": z, "number": z,
                 "local_start": z, "local_end": z}
-    if max_gaps is None:
-        # exact bound: number of N-run starts (nonzero slots are consumed
-        # by ALL runs, including sub-min_gap_size ones); rounded to the
-        # next power of two so different drafts share compiled shapes
-        is_gap = seq == dna.N
-        starts_mask = is_gap.copy()
-        starts_mask[1:] &= ~is_gap[:-1]
-        n_runs = max(16, int(starts_mask.sum()))
-        max_gaps = 1 << (n_runs - 1).bit_length()
-    # SEP-pad the genome axis to a shared shape bucket (SEP opens a new
-    # empty scaffold segment, so no run can span or qualify in it)
-    Lb = length_bucket(seq.shape[0])
-    if Lb != seq.shape[0]:
-        seq = np.concatenate([seq, np.full(Lb - seq.shape[0], dna.SEP,
-                                           np.int8)])
-    starts, ends, count = find_gap_runs(jnp.asarray(seq), min_gap_size, max_gaps)
-    n = int(count)
-    starts = np.asarray(starts)[:n]
-    ends = np.asarray(ends)[:n]
+    if seq.shape[0] <= HOST_SCAN_MAX:
+        starts, ends = find_gap_runs_host(np.asarray(seq), min_gap_size)
+        n = len(starts)
+    else:
+        if max_gaps is None:
+            # exact bound: number of N-run starts (nonzero slots are
+            # consumed by ALL runs, including sub-min_gap_size ones);
+            # rounded to the next power of two so different drafts
+            # share compiled shapes
+            is_gap = seq == dna.N
+            starts_mask = is_gap.copy()
+            starts_mask[1:] &= ~is_gap[:-1]
+            n_runs = max(16, int(starts_mask.sum()))
+            max_gaps = 1 << (n_runs - 1).bit_length()
+        # SEP-pad the genome axis to a shared shape bucket (SEP opens a
+        # new empty scaffold segment: no run can span or qualify in it)
+        Lb = length_bucket(seq.shape[0])
+        if Lb != seq.shape[0]:
+            seq = np.concatenate([seq, np.full(Lb - seq.shape[0],
+                                               dna.SEP, np.int8)])
+        starts, ends, count = find_gap_runs(jnp.asarray(seq),
+                                            min_gap_size, max_gaps)
+        n = int(count)
+        starts = np.asarray(starts)[:n]
+        ends = np.asarray(ends)[:n]
     scaf = genome.scaffold_index(starts)
     # per-scaffold counter starting at 1 (reference gap-id contract)
     counter = np.zeros(n, dtype=np.int64)

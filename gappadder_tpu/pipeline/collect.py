@@ -92,25 +92,57 @@ def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
     return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
 
 
-def make_extract_step(dims, mesh=None):
-    """Jitted recruitment-entry extraction — THE SAME block the fused
-    slice runs (parallel/slice.py _classify_extract): classification +
-    entry flattening on device; with a mesh, records are sharded along
-    the flattened axes and tables replicated."""
+def make_extract_step(dims, mesh=None, ecap: int = 1 << 15):
+    """Jitted recruitment-entry extraction — THE SAME classification
+    block the fused slice runs (parallel/slice.py _classify_extract) —
+    followed by ON-DEVICE compaction of the valid entries.
+
+    Compaction matters on tunneled devices: the raw flattened entry
+    arrays are B*fanout*3 rows x 8 columns (~12 MB per 32k-record
+    batch) while the live entries are a few thousand — compacting
+    before the fetch turns the per-batch readback into one ~1 MB
+    transfer ([8, ecap] int32 + counts). Returns (packed, n_valid,
+    counts3): packed rows are (gap, side, hash_hi, hash_lo, hq,
+    mate_tid, mate_pos) for the first n_valid slots (original entry
+    order); n_valid > ecap means truncation — the caller retries with a
+    bigger ecap (never silent).
+    """
     import functools
     import jax
+    import jax.numpy as jnp
     from ..parallel import slice as sl
 
-    fn = functools.partial(sl._classify_extract, dims=dims)
+    def fn(mat, *rep_args):
+        # mat: [B, 11] int32 — ONE upload per batch (tid, pos, flag,
+        # mapq, mtid, mpos, tlen, lclip, rclip, hash_hi, hash_lo)
+        cols = tuple(mat[:, i] for i in range(9))
+        hashes = (mat[:, 9].view(jnp.uint32), mat[:, 10].view(jnp.uint32))
+        (gap, side, hi, lo, hq, valid), (mt, mp), c3 = \
+            sl._classify_extract(*cols, *hashes, *rep_args, dims=dims)
+        order = jnp.argsort(~valid, stable=True)[:ecap]
+        packed = jnp.stack([
+            gap[order].astype(jnp.int32), side[order].astype(jnp.int32),
+            hi[order].astype(jnp.uint32).view(jnp.int32),
+            lo[order].astype(jnp.uint32).view(jnp.int32),
+            hq[order].astype(jnp.int32), mt[order].astype(jnp.int32),
+            mp[order].astype(jnp.int32)], axis=1)
+        if packed.shape[0] < ecap:      # small batches: keep [ecap, 7]
+            packed = jnp.pad(packed, ((0, ecap - packed.shape[0]), (0, 0)))
+        # row 0 carries the valid count: ONE readback per batch — every
+        # tunneled round trip is a chance to eat a transport stall
+        nv_row = jnp.broadcast_to(
+            jnp.sum(valid).astype(jnp.int32)[None, None], (1, 7))
+        return jnp.concatenate([nv_row, packed], axis=0), c3
+
     if mesh is None:
         return jax.jit(fn), None
     from jax.sharding import NamedSharding, PartitionSpec as P
     axes = tuple(mesh.axis_names)
     dp, rep = P(axes), P()
-    in_specs = (dp,) * 11 + (rep,) * 7
+    in_specs = (dp,) + (rep,) * 7
     sharded = jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=in_specs,
-        out_specs=((dp,) * 6, (dp,) * 2, dp), check_vma=False))
+        out_specs=(dp, dp), check_vma=False))
     shardings = [NamedSharding(mesh, s) for s in in_specs]
     return sharded, shardings
 
@@ -167,63 +199,82 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
         fanout=fanout, dist1=dist1, dist2=dist2, clip_dist=cfg.clip_dist,
         anchor_mapq=cfg.anchor_mapq, hq_mapq=cfg.high_quality_mapq,
         short_insert=short_insert, lib=0)
-    extract, shardings = make_extract_step(dims, mesh)
+    n_shards = 1
+    if mesh is not None:
+        n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    ecap = 1 << 15
+    extract, shardings = make_extract_step(dims, mesh, ecap)
 
     B = cfg.tpu.read_batch
-    if mesh is not None:
-        m = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        B = -(-B // m) * m           # shardable batch size
+    B = -(-B // n_shards) * n_shards     # shardable batch size
     n = aln.n
     name_hash = np.asarray(aln.name_hash, np.uint64)
     rep_args = (jnp.asarray(wp["tid"]), jnp.asarray(wp["start"]),
                 jnp.asarray(wp["end"]), jnp.asarray(wp["gap"]),
                 jnp.asarray(wp["edge"]),
                 jnp.asarray(gap_start), jnp.asarray(gap_end))
-    for lo in range(0, n, B):
+    from ..parallel.mp import to_np
+    lo = 0
+    while lo < n:
         hi = min(lo + B, n)
         sl = slice(lo, hi)
         pad = B - (hi - lo)
 
-        def col(x, fill=0):
-            a = np.asarray(x[sl], np.int32)
-            if pad:
-                a = np.concatenate([a, np.full(pad, fill, np.int32)])
-            return jnp.asarray(a)
+        mat = np.empty((B, 11), np.int32)
 
+        def fill_col(i, x, fill=0):
+            mat[:hi - lo, i] = np.asarray(x[sl], np.int32)
+            if pad:
+                mat[hi - lo:, i] = fill
+
+        for i, (x, f) in enumerate((
+                (tid, -2), (aln.pos, -1), (aln.flag, 0), (aln.mapq, 0),
+                (mtid, -2), (aln.mpos, -1), (aln.tlen, 0),
+                (aln.lclip, 0), (aln.rclip, 0))):
+            fill_col(i, x, f)
         hash_c = name_hash[sl]
+        mat[:hi - lo, 9] = (hash_c >> np.uint64(32)).astype(
+            np.uint32).view(np.int32)
+        mat[:hi - lo, 10] = (hash_c & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32).view(np.int32)
         if pad:
-            hash_c = np.concatenate([hash_c, np.zeros(pad, np.uint64)])
-        args = (col(tid, -2), col(aln.pos, -1), col(aln.flag),
-                col(aln.mapq), col(mtid, -2), col(aln.mpos, -1),
-                col(aln.tlen), col(aln.lclip), col(aln.rclip),
-                jnp.asarray((hash_c >> np.uint64(32)).astype(np.uint32)),
-                jnp.asarray((hash_c & np.uint64(0xFFFFFFFF)).astype(
-                    np.uint32))) + rep_args
+            mat[hi - lo:, 9:11] = 0
+        args = (jnp.asarray(mat),) + rep_args
         if shardings is not None:
             from ..parallel import mp as pmp
             args = tuple(pmp.put_global(a, s)
                          for a, s in zip(args, shardings))
-        (eg, es, ehi, elo, ehq, ev), (emt, emp), _c3 = extract(*args)
-
-        from ..parallel.mp import to_np
-        idx = np.flatnonzero(to_np(ev))
-        if not len(idx):
+        packed, _c3 = extract(*args)
+        packed = to_np(packed)
+        stride = ecap + 1                    # count row + ecap entries
+        nv = packed[::stride, 0][:n_shards]
+        if int(nv.max()) > ecap:
+            # device compaction overflowed: grow and REDO this batch
+            # (shapes are cached per ecap, so this costs one compile)
+            ecap = 1 << (int(nv.max()) - 1).bit_length()
+            extract, shardings = make_extract_step(dims, mesh, ecap)
             continue
-        eg = to_np(eg)[idx]
-        ent_gap.append(eg)
-        ent_side.append(to_np(es)[idx])
-        ent_hash.append((to_np(ehi)[idx].astype(np.uint64) <<
-                         np.uint64(32)) |
-                        to_np(elo)[idx].astype(np.uint64))
-        ent_hq.append(to_np(ehq)[idx].astype(bool))
-        # disc third: mate fields are -1-filled outside it, and valid
-        # disc entries always carry a mapped mate (mtid >= 0)
-        emt = to_np(emt)[idx]
-        dsel = emt >= 0
-        if dsel.any():
-            mate_tid.append(emt[dsel])
-            mate_pos.append(to_np(emp)[idx][dsel])
-            mate_gap.append(eg[dsel])
+        for s in range(n_shards):
+            cnt = int(nv[s])
+            if cnt == 0:
+                continue
+            seg = packed[s * stride + 1: s * stride + 1 + cnt]
+            eg = seg[:, 0]
+            ent_gap.append(eg)
+            ent_side.append(seg[:, 1])
+            ent_hash.append((seg[:, 2].view(np.uint32).astype(np.uint64)
+                             << np.uint64(32)) |
+                            seg[:, 3].view(np.uint32).astype(np.uint64))
+            ent_hq.append(seg[:, 4].astype(bool))
+            # disc third: mate fields are -1-filled outside it; valid
+            # disc entries always carry a mapped mate (mtid >= 0)
+            emt = seg[:, 5]
+            dsel = emt >= 0
+            if dsel.any():
+                mate_tid.append(emt[dsel])
+                mate_pos.append(seg[:, 6][dsel])
+                mate_gap.append(eg[dsel])
+        lo = hi
 
     # --- pass 2: low-mapq reads near discordant mate positions -----------
     if mate_tid and len(np.concatenate(mate_tid)):
@@ -250,32 +301,58 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                             "end": np.asarray(res2[2]),
                             "gap": np.asarray(res2[3]),
                             "mp": np.asarray(res2[4])})
-        for lo in range(0, n, B):
+        import functools as _ft
+        import jax as _jax
+
+        @_ft.partial(_jax.jit, static_argnames=("fanout", "ecap"))
+        def _lowmapq_compact(mat, a, b, c, d, e, *, fanout, ecap):
+            gk, sd = classify.classify_lowmapq(
+                mat[:, 0], mat[:, 1], mat[:, 2], mat[:, 3], a, b, c, d,
+                e, fanout=fanout)
+            flat = gk.reshape(-1)
+            valid = flat >= 0
+            order = jnp.argsort(~valid, stable=True)[:ecap]
+            rowi = (order // fanout).astype(jnp.int32)
+            packed = jnp.stack([flat[order], sd[rowi], rowi], axis=1)
+            if packed.shape[0] < ecap:
+                packed = jnp.pad(packed,
+                                 ((0, ecap - packed.shape[0]), (0, 0)))
+            nv_row = jnp.broadcast_to(
+                jnp.sum(valid).astype(jnp.int32)[None, None], (1, 3))
+            return jnp.concatenate([nv_row, packed], axis=0)
+
+        ecap2 = 1 << 14
+        mw_dev = tuple(jnp.asarray(mwp[k])
+                       for k in ("tid", "start", "end", "gap", "mp"))
+        lo = 0
+        while lo < n:
             hi = min(lo + B, n)
             sl = slice(lo, hi)
             pad = B - (hi - lo)
 
-            def col(x, fill=0):
-                a = np.asarray(x[sl], np.int32)
+            mat2 = np.empty((B, 4), np.int32)
+            for i, (x, f) in enumerate(((tid, -2), (aln.pos, -1),
+                                        (aln.flag, 0), (aln.mapq, 255))):
+                mat2[:hi - lo, i] = np.asarray(x[sl], np.int32)
                 if pad:
-                    a = np.concatenate([a, np.full(pad, fill, np.int32)])
-                return jnp.asarray(a)
+                    mat2[hi - lo:, i] = f
 
-            gap_k, side = classify.classify_lowmapq(
-                col(tid, -2), col(aln.pos, -1), col(aln.flag),
-                col(aln.mapq, 255),
-                jnp.asarray(mwp["tid"]), jnp.asarray(mwp["start"]),
-                jnp.asarray(mwp["end"]), jnp.asarray(mwp["gap"]),
-                jnp.asarray(mwp["mp"]), fanout=fan2)
+            packed = np.asarray(_lowmapq_compact(
+                jnp.asarray(mat2), *mw_dev, fanout=fan2, ecap=ecap2))
+            cnt = int(packed[0, 0])
+            if cnt > ecap2:
+                ecap2 = 1 << (cnt - 1).bit_length()
+                continue                       # redo batch, bigger cap
+            seg = packed[1:1 + cnt]
             m = hi - lo
-            gk = np.asarray(gap_k)[:m]
-            sd = np.asarray(side)[:m]
-            rr, kk = np.nonzero(gk >= 0)
-            if len(rr):
-                ent_gap.append(gk[rr, kk])
-                ent_side.append(sd[rr])
-                ent_hash.append(aln.name_hash[sl][rr])
-                ent_hq.append(np.zeros(len(rr), bool))  # mapq==0, never HQ
+            keep = seg[:, 2] < m               # drop padding rows
+            seg = seg[keep]
+            if len(seg):
+                ent_gap.append(seg[:, 0])
+                ent_side.append(seg[:, 1])
+                ent_hash.append(aln.name_hash[sl][seg[:, 2]])
+                ent_hq.append(np.zeros(len(seg), bool))  # mapq==0: not HQ
+            lo = hi
 
     if not ent_gap:
         z = np.zeros(0, np.int32)

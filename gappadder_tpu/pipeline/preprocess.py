@@ -47,32 +47,42 @@ def run_preprocess(cfg: Config, ws: Workspace | None = None,
     scaf_begin = genome.offsets[scaf] if n else np.zeros(0, np.int64)
     scaf_end = (genome.offsets[scaf] + genome.lengths[scaf]) if n else np.zeros(0, np.int64)
 
-    # bucket both the genome axis and the gap axis so drafts of similar
-    # size reuse compiled shapes (remote-TPU compiles dominate cold runs)
     seq = genome.seq
-    Lb = gapscan.length_bucket(max(seq.shape[0], 1))
-    if Lb != seq.shape[0]:
-        import gappadder_tpu.dna as dna
-        seq = np.concatenate([seq, np.full(Lb - seq.shape[0], dna.SEP,
-                                           np.int8)])
-    Gb = max(16, 1 << (max(n, 1) - 1).bit_length())
+    if seq.shape[0] <= gapscan.HOST_SCAN_MAX:
+        # small drafts: the host twin avoids the tunnel round trip
+        # entirely (transfer + dispatch latency would dominate)
+        left, right, left_len, right_len = gapscan.extract_flanks_host(
+            seq, gaps["start"], gaps["end"], scaf_begin, scaf_end,
+            flank_len=cfg.flank_length, margin=cfg.flank_margin)
+        left, right = np.asarray(left), np.asarray(right)
+        left_len, right_len = np.asarray(left_len), np.asarray(right_len)
+    else:
+        # bucket the genome and gap axes so drafts of similar size
+        # reuse compiled shapes (remote compiles dominate cold runs)
+        Lb = gapscan.length_bucket(max(seq.shape[0], 1))
+        if Lb != seq.shape[0]:
+            import gappadder_tpu.dna as dna
+            seq = np.concatenate([seq, np.full(Lb - seq.shape[0],
+                                               dna.SEP, np.int8)])
+        Gb = max(16, 1 << (max(n, 1) - 1).bit_length())
 
-    def _pad(a, fill, dtype=np.int32):
-        out = np.full(Gb, fill, dtype)
-        out[:n] = a
-        return jnp.asarray(out)
+        def _pad(a, fill, dtype=np.int32):
+            out = np.full(Gb, fill, dtype)
+            out[:n] = a
+            return jnp.asarray(out)
 
-    left, right, left_len, right_len = gapscan.extract_flanks(
-        jnp.asarray(seq),
-        _pad(gaps["start"], -1), _pad(gaps["end"], -1),
-        _pad(scaf_begin, 0), _pad(scaf_end, 0),
-        flank_len=cfg.flank_length, margin=cfg.flank_margin)
+        left, right, left_len, right_len = (
+            np.asarray(x)[:n] for x in gapscan.extract_flanks(
+                jnp.asarray(seq),
+                _pad(gaps["start"], -1), _pad(gaps["end"], -1),
+                _pad(scaf_begin, 0), _pad(scaf_end, 0),
+                flank_len=cfg.flank_length, margin=cfg.flank_margin))
 
     table = dict(gaps)
-    table["flank_left"] = np.asarray(left)[:n]
-    table["flank_right"] = np.asarray(right)[:n]
-    table["flank_left_len"] = np.asarray(left_len)[:n]
-    table["flank_right_len"] = np.asarray(right_len)[:n]
+    table["flank_left"] = left
+    table["flank_right"] = right
+    table["flank_left_len"] = left_len
+    table["flank_right_len"] = right_len
 
     if ws is not None:
         from ..parallel import mp

@@ -132,6 +132,57 @@ def remove_dup_contigs(aln, fai_names, fai_lens, cutoff: float,
     return [i for i in range(len(fai_names)) if i not in rm]
 
 
+def remove_repeats_two_sets(aln, query_fai_names, query_fai_lens,
+                            cutoff: float):
+    """-T removeRepeatsOfTwoContigSets (refiner.cpp:300-392): the BAM
+    aligns the QUERY contig set (the reference's `-s bam_fasta`) onto a
+    separate reference contig set; ANY query whose record is fully
+    mapped (M-fraction > cutoff against the query's own fai length) is
+    removed from the query set. Deliberately ASYMMETRIC: the reference
+    set is untouched and relative lengths play no role — a long query
+    fully mapping onto a short reference contig is still dropped.
+    Returns kept query fai indices."""
+    idx, lens = _fai_maps(query_fai_names, query_fai_lens)
+    names = _decode_names(aln)
+    known = np.array([nm in idx for nm in names], bool)
+    qid = np.array([idx.get(nm, 0) for nm in names], np.int64)
+    qlen = lens[qid] * known
+    mask = fully_mapped_mask(aln, qlen, cutoff)
+    tid = np.asarray(aln.tid, np.int64)
+    rm = {int(qid[i]) for i in np.nonzero(mask & known & (tid >= 0))[0]}
+    return [i for i in range(len(query_fai_names)) if i not in rm]
+
+
+def remove_repeats_one_set(aln, fai_names, fai_lens, cutoff: float):
+    """-O removeRepeatsOfOneContigSet (refiner.cpp:482-585) over a
+    contig-vs-self BAM: a query fully mapped onto a DIFFERENT contig is
+    removed — unconditionally when the two lengths differ (even when
+    the query is the LONGER one: the reference's `else` branch drops
+    qname regardless), and only when qname < rname when the lengths are
+    equal (so exactly one of a same-length pair survives). Returns kept
+    fai indices."""
+    idx, lens = _fai_maps(fai_names, fai_lens)
+    names = _decode_names(aln)
+    known = np.array([nm in idx for nm in names], bool)
+    qid = np.array([idx.get(nm, 0) for nm in names], np.int64)
+    qlen = lens[qid] * known
+    mask = fully_mapped_mask(aln, qlen, cutoff)
+    tid = np.asarray(aln.tid, np.int64)
+    ok_tid = (tid >= 0) & (tid < len(fai_names))
+    rm = set()
+    for i in np.nonzero(mask & known & ok_tid)[0]:
+        qname, rname = names[i], fai_names[tid[i]]
+        if qname == rname:
+            continue
+        iq, ir = int(qlen[i]), int(lens[idx[rname]])
+        if iq == ir:
+            if qname < rname:
+                rm.add(int(qid[i]))
+        else:
+            rm.add(int(qid[i]))
+    return [i for i in range(len(fai_names)) if i not in rm]
+
+
 def remove_contained_contigs(aln, fai_names, fai_lens, cutoff: float):
     """-K removeContainedContigs (refiner.cpp:587-657): drop any query
     contig fully mapped (M-fraction > cutoff) onto a different contig;

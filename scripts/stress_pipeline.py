@@ -98,7 +98,7 @@ def run_pipeline(tmp):
         libraries=(Library(bam=str(tmp / "lib.bam"), insert_size=300,
                            std=30, left_fq=str(tmp / "l.fq"),
                            right_fq=str(tmp / "r.fq")),),
-        tpu=TpuParams(read_batch=1 << 15))
+        tpu=TpuParams())
     ws = Workspace(cfg.workdir)
     genome = fasta.read_fasta(cfg.draft_genome)
     truth = fasta.read_fasta(str(tmp / "truth.fa"))

@@ -130,3 +130,41 @@ def test_extract_flanks_near_scaffold_edges():
     assert dna.decode(np.asarray(left)[0][:2]) == "AC"
     assert int(rl[0]) == 2  # seq[end+5 : min(end+300, scaf_end)]
     assert dna.decode(np.asarray(right)[0][:2]) == "GC"
+
+
+def test_host_twins_match_device_kernels(rng):
+    """find_gap_runs_host / extract_flanks_host are bit-equal to the
+    jit kernels on randomized drafts (the pipeline picks the host path
+    below HOST_SCAN_MAX, the device path above — same answers)."""
+    import jax.numpy as jnp
+    from gappadder_tpu import dna
+    from gappadder_tpu.ops import gapscan
+
+    for trial in range(5):
+        L = int(rng.integers(500, 4000))
+        seq = rng.integers(0, 4, L).astype(np.int8)
+        # plant N runs of varying lengths, some trailing, plus SEPs
+        for _ in range(int(rng.integers(1, 8))):
+            a = int(rng.integers(0, L - 10))
+            seq[a:a + int(rng.integers(1, 120))] = dna.N
+        for _ in range(2):
+            seq[int(rng.integers(0, L))] = dna.SEP
+        seq[-int(rng.integers(1, 30)):] = dna.N      # trailing run
+
+        hs, he = gapscan.find_gap_runs_host(seq, 20)
+        ds, de, dc = gapscan.find_gap_runs(jnp.asarray(seq), 20, 64)
+        n = int(dc)
+        assert hs.tolist() == np.asarray(ds)[:n].tolist()
+        assert he.tolist() == np.asarray(de)[:n].tolist()
+
+        if n:
+            sb = np.zeros(n, np.int64)
+            se = np.full(n, L, np.int64)
+            hf = gapscan.extract_flanks_host(seq, hs, he, sb, se,
+                                             flank_len=100)
+            df = gapscan.extract_flanks(
+                jnp.asarray(seq), jnp.asarray(hs, jnp.int32),
+                jnp.asarray(he, jnp.int32), jnp.asarray(sb, jnp.int32),
+                jnp.asarray(se, jnp.int32), flank_len=100)
+            for h, d in zip(hf, df):
+                assert np.array_equal(np.asarray(h), np.asarray(d))
