@@ -61,6 +61,19 @@ class MergeConfig:
     min_overlap_len_scaffold: int = 6  # -z default
     kmer_len: int = 10              # -k
     min_support_kmer: int = 1       # -m
+    # -p2 maxCountContigInPath: per-root path-count cap passed to
+    # FindSimplePathsTopSort (ContigsMerger/main.cpp:192-198 ->
+    # ContigsCompactor.cpp:907); the reference's loop emits cap+1
+    # paths (numOut > cap break, GraphUtils.cpp:733-748) — kept.
+    max_paths_per_root: int = 20
+    # -p1 maxContigPathLen and -u supportPairsCutoff are ACCEPTED by
+    # the reference CLI but DEAD in CompactVer3: -p1 feeds only the
+    # commented-out FindSimplePaths/FindSimplePathsBoundedLength calls
+    # (ContigsCompactor.cpp:905-906) and -u only the commented-out
+    # loadScaffoldInfo hook (:1180). Carried here so configs using
+    # them round-trip; they change nothing, same as the binary.
+    max_contig_path_len: int = -1   # -p1 (no effect in CompactVer3)
+    support_pairs_cutoff: int = 2   # -u  (no effect in CompactVer3)
     window: int = 1000              # dedup sketch window size
     max_paths_per_gap: int = 32
     dedup_cutoff: float = 0.99      # MergeContigs.py:73-99
@@ -661,9 +674,10 @@ def _tarjan_scc(N: int, adj: dict[int, list[int]]) -> list[list[int]]:
     return sccs
 
 
-# per-root path-count limit (MAX_CONTIG_IN_PATH_COUNT = 20,
-# ContigsCompactor.cpp:34; the reference's loop emits max+1 paths —
-# kept faithfully)
+# default per-root path-count limit (MAX_CONTIG_IN_PATH_COUNT = 20,
+# ContigsCompactor.cpp:34; overridden by MergeConfig.max_paths_per_root
+# = the reference's -p2; the reference's loop emits max+1 paths — kept
+# faithfully)
 MAX_PATHS_PER_ROOT = 20
 
 
@@ -741,7 +755,7 @@ def enumerate_paths(N: int, edges: dict, cfg: MergeConfig, adj=None):
         found = [path[e] for e in ends if dist[e] < INF]
         found.sort(key=lambda p: (-len(p), p))
         for num_out, p in enumerate(found):
-            if num_out > MAX_PATHS_PER_ROOT:
+            if num_out > cfg.max_paths_per_root:
                 break
             if p not in seen_paths:
                 seen_paths.add(p)

@@ -62,7 +62,7 @@ ASAN_ENV = dict(os.environ,
                              "new_delete_type_mismatch=0:detect_leaks=0")
 
 
-def run_reference_merger(binary, contigs, names, tmpdir):
+def run_reference_merger(binary, contigs, names, tmpdir, extra_args=()):
     fa = os.path.join(tmpdir, "in.fa")
     with open(fa, "w") as fh:
         for n, c in zip(names, contigs):
@@ -70,7 +70,8 @@ def run_reference_merger(binary, contigs, names, tmpdir):
     info = os.path.join(tmpdir, "out.info")
     r = subprocess.run(
         [binary, "-s", "0.4", "-i1", "-2.0", "-i2", "-2.0", "-x", "12",
-         "-y", "50", "-k", "10", "-t", "1", "-m", "1", "-o", info, fa],
+         "-y", "50", "-k", "10", "-t", "1", "-m", "1", "-o", info]
+        + list(extra_args) + [fa],
         capture_output=True, text=True, timeout=300, cwd=tmpdir,
         env=ASAN_ENV)
     assert r.returncode == 0, r.stderr[-500:]
@@ -219,3 +220,43 @@ def test_merge_gml_matches_reference_binary(ref_binary, tmp_path, rng):
     merge_contigs([np.asarray(f) for f in frags], MergeConfig(),
                   graph_out=graph)
     assert merge_graph_gml(names, graph) == ref_gml
+
+
+def test_merge_p2_path_cap_matches_reference_binary(ref_binary, tmp_path,
+                                                    rng):
+    """-p2 maxCountContigInPath (ContigsMerger/main.cpp:192-198): the
+    per-root path cap fed to FindSimplePathsTopSort. A star scenario
+    (one left fragment overlapping many distinct right fragments) has
+    many paths from one root; -p2 1 must CHANGE the answer (cap+1 = 2
+    paths emitted per root, the reference's numOut > cap quirk) and our
+    MergeConfig.max_paths_per_root must match the binary at both
+    settings."""
+    # complete bipartite overlap: 3 starts Ai all ending in the same
+    # 50 bp T, 4 ends Ej all beginning with T -> 12 (Ai, Ej) paths.
+    # Per-root caps bite on BOTH orientations here (each Ai root has 4
+    # ends, each Ej_R twin root has 3 starts), so capped paths cannot
+    # all be refilled by their revcomp twins — a one-sided star's can.
+    T = rng.integers(0, 4, 50).astype(np.int8)
+    starts = [np.concatenate([rng.integers(0, 4, 150).astype(np.int8), T])
+              for _ in range(3)]
+    ends = [np.concatenate([T, rng.integers(0, 4, 150).astype(np.int8)])
+            for _ in range(4)]
+    frags = starts + ends
+    names = [f"c{i}" for i in range(len(frags))]
+
+    for p2, ours_cap in ((1, 1), (20, 20)):
+        d = tmp_path / f"p2_{p2}"
+        d.mkdir()
+        ref, _ = run_reference_merger(ref_binary, frags, names, str(d),
+                                      extra_args=("-p2", str(p2)))
+        ours, _i = merge_contigs(
+            [np.asarray(f) for f in frags],
+            MergeConfig(max_paths_per_root=ours_cap))
+        ref_set = sorted(canon(s) for s in ref.values())
+        our_set = sorted(canon(dna.decode(np.asarray(m))) for m in ours)
+        assert our_set == ref_set, f"-p2 {p2}"
+        if p2 == 1:
+            n_capped = len(ref_set)
+        else:
+            n_full = len(ref_set)
+    assert n_capped < n_full, "cap did not change the answer"
