@@ -42,6 +42,7 @@ from .. import dna
 from . import kmers
 
 FULL = jnp.uint32(0xFFFFFFFF)
+HIST_BUCKETS = 512      # spectrum buckets (shared with parallel/slice.py)
 
 
 def _lex_less(a, b):
@@ -402,7 +403,29 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
     rc = dna.revcomp_jnp(fwd)  # padding N stays N
     both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
     blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
+    if kcounts is None:
+        row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
+    else:
+        row_counts = jnp.where(row_valid, kcounts, 0).astype(jnp.int32)
+    return _assemble_core(
+        both, blen, jnp.concatenate([row_counts, row_counts]),
+        sub_k=sub_k, max_unitigs=max_unitigs, max_len=max_len,
+        min_len=min_len, pop_bubbles=pop_bubbles,
+        max_bubble_len=max_bubble_len, node_cap=node_cap,
+        edge_cap=edge_cap)
 
+
+def _assemble_core(both, blen, row_counts, *, sub_k: int,
+                   max_unitigs: int, max_len: int, min_len: int,
+                   pop_bubbles: int = 0, max_bubble_len: int | None = None,
+                   node_cap: int | None = None,
+                   edge_cap: int | None = None):
+    """DBG graph build + unitig emission from any set of strings
+    (distinct k-mer strings OR raw reads + revcomps): the graph depends
+    only on the strings' DISTINCT (sub_k+1)-mers. row_counts: [rows]
+    source-string multiplicities (bubble-pop coverage weights).
+    want_hist: also return a [HIST]-bucket spectrum of the distinct
+    node sub_k-mers (cheap: the sorted-unique node table is in hand)."""
     # ---- edges, then nodes FROM the edges --------------------------------
     # Every sub_k-mer of a k-string (k > sub_k) is the prefix or suffix
     # of one of its (sub_k+1)-mers, so the node set is exactly the set
@@ -458,11 +481,6 @@ def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
         # node occurrences only exist for coverage — extracted lazily
         # here so the common pop_bubbles=0 path never pays for them
         nlimb, nval = kmers.extract_kmers(both, blen, sub_k)  # [2M,P1,nl]
-        if kcounts is None:
-            row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
-        else:
-            row_counts = jnp.where(row_valid, kcounts, 0).astype(jnp.int32)
-        row_counts = jnp.concatenate([row_counts, row_counts])
         cov = _node_coverage(node_keys, nlimb, nval, row_counts)
         mbl = 2 * (sub_k + 1) if max_bubble_len is None else max_bubble_len
         for _ in range(pop_bubbles):

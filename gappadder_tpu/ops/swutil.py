@@ -56,7 +56,12 @@ def sw_pairs(queries, qlens, targets, tlens, params: SWParams,
         from .sw_xla import sw_batch as fn
     s, qe, te = fn(jnp.asarray(qp), jnp.asarray(qlp), jnp.asarray(tp),
                    jnp.asarray(tlp), params, mode, end_slack=end_slack)
-    return (np.asarray(s)[:B], np.asarray(qe)[:B], np.asarray(te)[:B])
+    # one stacked fetch: each device->host readback is a full tunnel
+    # round trip (and a chance to eat a transport stall)
+    out = np.asarray(jnp.stack([s.astype(jnp.int32),
+                                qe.astype(jnp.int32),
+                                te.astype(jnp.int32)]))
+    return out[0, :B], out[1, :B], out[2, :B]
 
 
 def sw_ragged(queries, targets, params: SWParams, mode: str,

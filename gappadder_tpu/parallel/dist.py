@@ -79,6 +79,31 @@ def route_shard(payloads, dest, valid, *, axis: str, n_shards: int,
       n_recv: int32 [1] RAW demand (pre-clamp): a value > out_cap means
         rows were dropped; min(n_recv, out_cap) rows were delivered.
     """
+    if n_shards == 1:
+        # single-shard fast path: routing degenerates to valid-first
+        # stable compaction (identical row order to both impls —
+        # source-major of one source); skips the all_gather +
+        # all_to_all dispatches entirely
+        cap = dest.shape[0]
+        order = jnp.argsort(~valid, stable=True)[:out_cap]
+        nv = jnp.sum(valid).astype(jnp.int32)
+        ncap32 = jnp.minimum(nv, out_cap)
+        live = jnp.arange(out_cap) < ncap32
+        outs = []
+        for p in payloads:
+            fill = -1 if jnp.issubdtype(p.dtype, jnp.signedinteger) else 0
+            res = p[order]
+            if res.shape[0] < out_cap:
+                pad_shape = (out_cap - res.shape[0],) + res.shape[1:]
+                res = jnp.concatenate(
+                    [res, jnp.full(pad_shape, fill, p.dtype)])
+            res = jnp.where(
+                live.reshape((-1,) + (1,) * (res.ndim - 1)), res,
+                jnp.full(res.shape[1:], fill, p.dtype))
+            outs.append(res)
+        src = jnp.where(live, 0, -1).astype(jnp.int32)
+        return tuple(outs), src, nv[None]
+
     order, key_sorted, send, in_off = send_tables(dest, valid, n_shards)
     me = jax.lax.axis_index(axis)
     mat = jax.lax.all_gather(send, axis)              # [src, dst]

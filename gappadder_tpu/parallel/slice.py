@@ -55,7 +55,7 @@ from ..ops.recruit import dedup_and_join
 from ..ops.sw_host import BWA_PARAMS
 from . import dist
 
-HIST_BUCKETS = 512
+from ..ops.dbg import HIST_BUCKETS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +83,10 @@ class SliceDims:
     min_contig_len: int = 40
     min_kmer_count: int = 0
     pop_bubbles: int = 0
+    # True when Config.max_distinct_kmers is a FIXED positive cap: the
+    # k-mer table may then truncate (a semantic the reads-direct fast
+    # path cannot replicate), so the counting path must run
+    fixed_kmer_cap: bool = False
     fanout: int = 4
     dist1: int = 210
     dist2: int = 390
@@ -229,16 +233,29 @@ def _distinct_kmers(seq, rlen, k: int, dims: SliceDims,
     Chunks the read axis exactly like the pipeline's
     assemble.gap_distinct_kmers so saturation behavior matches; applies
     the same min_kmer_count filter (0 = keep all, -1 = adaptive error
-    filter, >1 = fixed cutoff)."""
-    from ..pipeline.assemble import FULL, _merge_chunk, filter_min_count
+    filter, >1 = fixed cutoff). When neither the filter nor bubble
+    popping needs multiplicities, the countless merge runs instead
+    (same distinct set, one fewer sort operand + no segment sums)."""
+    from ..pipeline.assemble import (FULL, _merge_chunk,
+                                     _merge_chunk_nocnt, filter_min_count)
     Gl, R, _L = seq.shape
     acc = jnp.full((Gl, dims.max_distinct, kmers.num_limbs(k)),
                    FULL, jnp.uint32)
-    cnt = jnp.zeros((Gl, dims.max_distinct), jnp.int32)
-    for lo in range(0, R, read_chunk):
-        hi = min(lo + read_chunk, R)
-        acc, cnt = _merge_chunk(seq[:, lo:hi], rlen[:, lo:hi], acc, cnt, k)
-    acc, cnt, distinct = filter_min_count(acc, cnt, dims.min_kmer_count)
+    if dims.min_kmer_count == 0 and dims.pop_bubbles == 0:
+        for lo in range(0, R, read_chunk):
+            hi = min(lo + read_chunk, R)
+            acc = _merge_chunk_nocnt(seq[:, lo:hi], rlen[:, lo:hi],
+                                     acc, k)
+        distinct = ~jnp.all(acc == jnp.uint32(FULL), axis=-1)
+        cnt = jnp.zeros((Gl, dims.max_distinct), jnp.int32)
+    else:
+        cnt = jnp.zeros((Gl, dims.max_distinct), jnp.int32)
+        for lo in range(0, R, read_chunk):
+            hi = min(lo + read_chunk, R)
+            acc, cnt = _merge_chunk(seq[:, lo:hi], rlen[:, lo:hi],
+                                    acc, cnt, k)
+        acc, cnt, distinct = filter_min_count(acc, cnt,
+                                              dims.min_kmer_count)
     nk = jnp.sum(distinct, axis=-1).astype(jnp.int32)
     kstr = dbg.unpack_kmers_to_strings(acc, k)
     return acc, kstr, nk, cnt, distinct
@@ -261,23 +278,24 @@ def _assemble_block(seq, rlen, dims: SliceDims):
     over_nk = jnp.zeros((), jnp.int32)
     hist = jnp.zeros((HIST_BUCKETS,), jnp.int32)
     for si, (k, sub_k) in enumerate(dims.kset):
+        ncap = dims.effective_node_cap(k)
         acc, kstr, nk, kcnt, distinct = _distinct_kmers(seq, rlen, k, dims)
         if si == 0:
             h = (acc[..., 0] >> 16) % HIST_BUCKETS
             hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[
                 jnp.where(distinct, h, 0).reshape(-1)].add(
                 distinct.reshape(-1).astype(jnp.int32), mode="drop")
-        ncap = dims.effective_node_cap(k)
         us, ul, uc, nn_raw, ne_raw = dbg.assemble_unitigs(
             kstr, nk, kcnt, k=k, sub_k=sub_k,
             max_unitigs=mu, max_len=Lc, min_len=dims.min_contig_len,
-            pop_bubbles=dims.pop_bubbles, node_cap=ncap, edge_cap=ncap)
+            pop_bubbles=dims.pop_bubbles, node_cap=ncap,
+            edge_cap=ncap)
+        over_nk = jnp.maximum(over_nk, jnp.max(nk, initial=0))
         useqs.append(us)
         ulens.append(ul)
         ucnts.append(uc)
         over_nodes = jnp.maximum(over_nodes, jnp.max(nn_raw))
         over_edges = jnp.maximum(over_edges, jnp.max(ne_raw))
-        over_nk = jnp.maximum(over_nk, jnp.max(nk, initial=0))
     useq = jnp.concatenate(useqs, axis=1)       # [Gl, S*mu, Lc]
     ulen = jnp.concatenate(ulens, axis=1)
     ucnt = jnp.stack(ucnts, axis=1)             # [Gl, S]

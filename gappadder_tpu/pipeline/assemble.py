@@ -176,6 +176,44 @@ def _merge_chunk(chunk, clen, acc, acc_cnt, k):
     return _merge_chunk_impl(acc, acc_cnt, flat, ones)
 
 
+@jax.jit
+def _merge_chunk_nocnt_impl(acc, limbs_new):
+    """Distinct-set merge WITHOUT multiplicities: when neither
+    min_kmer_count nor bubble popping needs counts, the count operand
+    and the segment sums are pure overhead — this drops them from the
+    block's biggest sort."""
+    G, M, nl = acc.shape
+    both = jnp.concatenate([acc, limbs_new], axis=1)
+    ops = [both[..., l] for l in range(nl)]
+    res = jax.lax.sort(tuple(ops), dimension=1, num_keys=nl)
+    s = jnp.stack(res, axis=-1)
+    first = kmers.unique_mask(s)
+    keep = first & ~jnp.all(s == jnp.uint32(FULL), axis=-1)
+    if jax.default_backend() == "tpu":
+        order = jnp.argsort(~keep, axis=-1, stable=True)
+        merged = jnp.take_along_axis(s, order[..., None], axis=-2)
+        n = jnp.sum(keep, axis=-1)
+        inb = (jnp.arange(merged.shape[1]) < n[:, None])
+        merged = jnp.where(inb[..., None], merged, jnp.uint32(FULL))
+        return merged[:, :M]
+    P = s.shape[1]
+    rank = jnp.cumsum(keep, axis=-1) - 1
+    tgt = jnp.where(keep, rank, P)
+    b = jnp.arange(G, dtype=jnp.int32)[:, None]
+    merged = jnp.full((G, P + 1, nl), jnp.uint32(FULL)).at[
+        b, tgt].set(s, mode="drop")[:, :P]
+    return merged[:, :M]
+
+
+def _merge_chunk_nocnt(chunk, clen, acc, k):
+    limbs, valid = kmers.extract_kmers(chunk, clen, k)
+    limbs = kmers.canonicalize(limbs, k)
+    limbs = jnp.where(valid[..., None], limbs, jnp.uint32(FULL))
+    G = limbs.shape[0]
+    flat = limbs.reshape(G, -1, limbs.shape[-1])
+    return _merge_chunk_nocnt_impl(acc, flat)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 

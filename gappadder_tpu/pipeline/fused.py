@@ -181,6 +181,7 @@ def assemble_batch(cfg: Config, mesh, batch, per_gap, readsets,
             min_contig_len=cfg.min_contig_len,
             min_kmer_count=cfg.min_kmer_count,
             pop_bubbles=cfg.bubble_pop_rounds,
+            fixed_kmer_cap=cfg.max_distinct_kmers != 0,
             route_impl=dist.default_impl(),
             use_pallas=(bool(cfg.tpu.use_pallas)
                         and jax.default_backend() == "tpu"))

@@ -139,6 +139,20 @@ def main():
     except Exception as e:  # noqa: BLE001
         RESULT["slice_error"] = str(e)[:300]
     emit()
+
+    # production-shape row (VERDICT r3 next #3): six (k, sub_k)
+    # settings, 300 bp flanks, 100 bp reads, skewed 100-1000 bp gaps —
+    # measured last (longest compile; the incremental file keeps the
+    # rows above if the parent kills us)
+    if "--no-production" not in sys.argv:
+        try:
+            row = measure(1, gaps_per_shard=16, production=True)
+            RESULT["slice_production"] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in row.items()}
+        except Exception as e:  # noqa: BLE001
+            RESULT["slice_production_error"] = str(e)[:300]
+        emit()
     print(json.dumps(RESULT))
 
 

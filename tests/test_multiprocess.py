@@ -27,12 +27,17 @@ def free_port():
     return port
 
 
-def test_two_process_cli_pipeline(tmp_path, rng):
-    """THE SHIPPED PIPELINE (cli.py -c All) across 2 processes x 4
+import pytest
+
+
+@pytest.mark.parametrize("n_procs,devs_per_proc", [(2, 4), (4, 2)])
+def test_two_process_cli_pipeline(tmp_path, rng, n_procs, devs_per_proc):
+    """THE SHIPPED PIPELINE (cli.py -c All) across N processes x M
     virtual CPU devices via --coordinator: picked_seqs.fa and
     filled_scaffolds.fa bit-equal to the single-process run — VERDICT
-    r2 missing #2. Device stages shard over the global 8-device mesh;
-    host stages compute SPMD-identically; process 0 writes."""
+    r2 missing #2 (+ r3 next #5: 4-process case). Device stages shard
+    over the global 8-device mesh; host stages compute
+    SPMD-identically; process 0 writes."""
     import json
     import numpy as np
     sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -69,7 +74,7 @@ def test_two_process_cli_pipeline(tmp_path, rng):
     cfg_sp = write_cfg("config_sp.json", "work_sp")
     assert main(["-c", "All", "-g", cfg_sp]) == 0
 
-    # 2-process run of the same CLI
+    # N-process run of the same CLI
     cfg_mp = write_cfg("config_mp.json", "work_mp")
     port = free_port()
     env = {k: v for k, v in os.environ.items()
@@ -79,10 +84,10 @@ def test_two_process_cli_pipeline(tmp_path, rng):
         subprocess.Popen(
             [sys.executable, "-m", "gappadder_tpu.cli", "-c", "All",
              "-g", cfg_mp, "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", "2", "--process-id", str(pid),
-             "--cpu-devices", "4"],
+             "--num-processes", str(n_procs), "--process-id", str(pid),
+             "--cpu-devices", str(devs_per_proc)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
