@@ -324,16 +324,25 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
         ecap2 = 1 << 14
         mw_dev = tuple(jnp.asarray(mwp[k])
                        for k in ("tid", "start", "end", "gap", "mp"))
+        # only mapq==0 records are ELIGIBLE in this pass (the
+        # reference's `if map_quality>0: continue`,
+        # collect_discordant_low_mapq_reads.py:52-53) — pre-filter on
+        # the host so the device scans the eligible subset, not all
+        # records (a full second sweep of a 27M-record library is
+        # hundreds of wasted batches on clean data)
+        rows0 = np.flatnonzero(np.asarray(aln.mapq) == 0)
+        n0 = len(rows0)
+        sub_cols = [np.asarray(x, np.int32)[rows0]
+                    for x in (tid, aln.pos, aln.flag, aln.mapq)]
         lo = 0
-        while lo < n:
-            hi = min(lo + B, n)
-            sl = slice(lo, hi)
+        while lo < n0:
+            hi = min(lo + B, n0)
+            take = rows0[lo:hi]
             pad = B - (hi - lo)
 
             mat2 = np.empty((B, 4), np.int32)
-            for i, (x, f) in enumerate(((tid, -2), (aln.pos, -1),
-                                        (aln.flag, 0), (aln.mapq, 255))):
-                mat2[:hi - lo, i] = np.asarray(x[sl], np.int32)
+            for i, f in enumerate((-2, -1, 0, 255)):
+                mat2[:hi - lo, i] = sub_cols[i][lo:hi]
                 if pad:
                     mat2[hi - lo:, i] = f
 
@@ -350,7 +359,7 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
             if len(seg):
                 ent_gap.append(seg[:, 0])
                 ent_side.append(seg[:, 1])
-                ent_hash.append(aln.name_hash[sl][seg[:, 2]])
+                ent_hash.append(aln.name_hash[take][seg[:, 2]])
                 ent_hq.append(np.zeros(len(seg), bool))  # mapq==0: not HQ
             lo = hi
 
