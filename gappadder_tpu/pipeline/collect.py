@@ -214,24 +214,18 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 jnp.asarray(wp["edge"]),
                 jnp.asarray(gap_start), jnp.asarray(gap_end))
     from ..parallel.mp import to_np
-    lo = 0
-    while lo < n:
-        hi = min(lo + B, n)
+
+    def _build_mat(lo, hi):
         sl = slice(lo, hi)
         pad = B - (hi - lo)
-
         mat = np.empty((B, 11), np.int32)
-
-        def fill_col(i, x, fill=0):
-            mat[:hi - lo, i] = np.asarray(x[sl], np.int32)
-            if pad:
-                mat[hi - lo:, i] = fill
-
         for i, (x, f) in enumerate((
                 (tid, -2), (aln.pos, -1), (aln.flag, 0), (aln.mapq, 0),
                 (mtid, -2), (aln.mpos, -1), (aln.tlen, 0),
                 (aln.lclip, 0), (aln.rclip, 0))):
-            fill_col(i, x, f)
+            mat[:hi - lo, i] = np.asarray(x[sl], np.int32)
+            if pad:
+                mat[hi - lo:, i] = f
         hash_c = name_hash[sl]
         mat[:hi - lo, 9] = (hash_c >> np.uint64(32)).astype(
             np.uint32).view(np.int32)
@@ -239,21 +233,37 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
             np.uint32).view(np.int32)
         if pad:
             mat[hi - lo:, 9:11] = 0
+        return mat
+
+    def _dispatch(mat):
         args = (jnp.asarray(mat),) + rep_args
         if shardings is not None:
             from ..parallel import mp as pmp
             args = tuple(pmp.put_global(a, s)
                          for a, s in zip(args, shardings))
-        packed, _c3 = extract(*args)
-        packed = to_np(packed)
+        return extract(*args)
+
+    # dispatch every batch up-front (async), fetch in order: the
+    # device computes batch i+1 while batch i's results transfer —
+    # without this the tunnel serializes upload/compute/fetch per batch
+    pend = []
+    for lo in range(0, n, B):
+        hi = min(lo + B, n)
+        mat = _build_mat(lo, hi)
+        pend.append((mat, _dispatch(mat)))
+
+    for mat, (packed_dev, _c3) in pend:
+        packed = to_np(packed_dev)
         stride = ecap + 1                    # count row + ecap entries
         nv = packed[::stride, 0][:n_shards]
-        if int(nv.max()) > ecap:
+        while int(nv.max()) > ecap:
             # device compaction overflowed: grow and REDO this batch
             # (shapes are cached per ecap, so this costs one compile)
             ecap = 1 << (int(nv.max()) - 1).bit_length()
             extract, shardings = make_extract_step(dims, mesh, ecap)
-            continue
+            packed = to_np(_dispatch(mat)[0])
+            stride = ecap + 1
+            nv = packed[::stride, 0][:n_shards]
         for s in range(n_shards):
             cnt = int(nv[s])
             if cnt == 0:
@@ -274,7 +284,6 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 mate_tid.append(emt[dsel])
                 mate_pos.append(seg[:, 6][dsel])
                 mate_gap.append(eg[dsel])
-        lo = hi
 
     # --- pass 2: low-mapq reads near discordant mate positions -----------
     if mate_tid and len(np.concatenate(mate_tid)):

@@ -479,3 +479,38 @@ def test_refine_contigs_multi_matches_per_gap(rng):
         assert len(mc) == len(sc)
         for a, b in zip(mc, sc):
             assert np.array_equal(a, b)
+
+
+def test_refine_merge_info_reporting_semantics(rng):
+    """refine_contigs reports merge provenance with three distinct
+    states (ADVICE r3): list of lines when a merge produced contigs,
+    [] when the merger RAN but merged nothing (callers must then clear
+    stale provenance, like the binary rewriting its -o file empty),
+    and None when the merge step did not run at all (no contigs after
+    dedup, or the >1MB size guard)."""
+    from gappadder_tpu.pipeline import run as run_mod
+    from gappadder_tpu.pipeline.run import MERGE_SKIP_BASES
+    cfg = MergeConfig()
+
+    # chain that merges -> non-empty lines
+    chain = _chain_contigs(rng, 3)
+    _, _, il = run_mod.refine_contigs(
+        chain, [f"c{i}" for i in range(len(chain))], cfg)
+    assert il and all(l.startswith("NEW_CONTIG_MERGE_") for l in il)
+
+    # disjoint contigs: merger runs, merges nothing -> [] (not None)
+    parts = [_rand(rng, 100), _rand(rng, 120)]
+    _, _, il = run_mod.refine_contigs(parts, ["a", "b"], cfg)
+    assert il == [] and il is not None
+
+    # no contigs -> merge never ran -> None
+    _, _, il = run_mod.refine_contigs([], [], cfg)
+    assert il is None
+
+    # size guard: total > 1MB skips merging entirely -> None
+    # (single-base contigs: their 10-mer sketches share nothing, so
+    # the dedup pair screen stays empty and the test stays fast)
+    big = [np.full(MERGE_SKIP_BASES // 2 + 10, b, np.int8)
+           for b in (0, 1)]
+    _, _, il = run_mod.refine_contigs(big, ["x", "y"], cfg)
+    assert il is None

@@ -74,32 +74,45 @@ def test_two_process_cli_pipeline(tmp_path, rng, n_procs, devs_per_proc):
     cfg_sp = write_cfg("config_sp.json", "work_sp")
     assert main(["-c", "All", "-g", cfg_sp]) == 0
 
-    # N-process run of the same CLI
+    # N-process run of the same CLI. The gloo context handshake has a
+    # hard-coded 30 s KV deadline inside XLA:CPU collectives; on an
+    # oversubscribed box (N jax processes starting on 2 cores while
+    # other tests run) it occasionally expires — that is environment
+    # load, not product behavior, so retry ONCE on that signature.
     cfg_mp = write_cfg("config_mp.json", "work_mp")
-    port = free_port()
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
     env["PYTHONPATH"] = REPO
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "gappadder_tpu.cli", "-c", "All",
-             "-g", cfg_mp, "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", str(n_procs), "--process-id", str(pid),
-             "--cpu-devices", str(devs_per_proc)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(n_procs)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out.decode(errors="replace"))
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-4000:]
+    for attempt in range(2):
+        port = free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "gappadder_tpu.cli", "-c", "All",
+                 "-g", cfg_mp, "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", str(n_procs),
+                 "--process-id", str(pid),
+                 "--cpu-devices", str(devs_per_proc), "--force"],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT)
+            for pid in range(n_procs)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out.decode(errors="replace"))
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any("DEADLINE_EXCEEDED" in o or
+                        "Gloo context initialization failed" in o
+                        for o in outs)
+        if not (transient and attempt == 0):
+            for p, o in zip(procs, outs):
+                assert p.returncode == 0, o[-4000:]
 
     for fn in ("picked_seqs.fa", "picked_seqs.fa_ori.txt",
                "filled_scaffolds.fa", "gap_positions.txt"):
