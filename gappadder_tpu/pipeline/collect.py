@@ -32,7 +32,12 @@ from ..io import fasta, fastq, native
 from ..ops import classify, intervals
 
 
-STREAM_THRESHOLD = 1 << 30   # >1GB BAMs decode via the streaming path
+# BAMs above this decode via the bounded-memory streaming path. Also a
+# PERFORMANCE threshold on sandboxed kernels: the whole-file decoder
+# first-touches ~6x the file size in fresh pages, and page faults cost
+# ~17us under gVisor-class sandboxes (measured: 40 s whole-file vs
+# 15 s streaming for a 627 MB / 27M-record BAM — system time, not CPU)
+STREAM_THRESHOLD = 1 << 28
 
 
 def read_bam_any(path: str) -> bam_io.Alignments:
@@ -243,16 +248,27 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                          for a, s in zip(args, shardings))
         return extract(*args)
 
-    # dispatch every batch up-front (async), fetch in order: the
-    # device computes batch i+1 while batch i's results transfer —
-    # without this the tunnel serializes upload/compute/fetch per batch
+    # dispatch ahead (async), fetch in order: the device computes
+    # batch i+k while batch i's results transfer — without this the
+    # tunnel serializes upload/compute/fetch per batch. The in-flight
+    # window is bounded so a 27M-record library doesn't hold hundreds
+    # of staged [B, 11] uploads alive at once.
+    MAX_INFLIGHT = 8
     pend = []
-    for lo in range(0, n, B):
-        hi = min(lo + B, n)
-        mat = _build_mat(lo, hi)
-        pend.append((mat, _dispatch(mat)))
+    batch_ranges = [(lo, min(lo + B, n)) for lo in range(0, n, B)]
+    bi = 0
 
-    for mat, (packed_dev, _c3) in pend:
+    def _fill_pipeline():
+        nonlocal bi
+        while bi < len(batch_ranges) and len(pend) < MAX_INFLIGHT:
+            lo, hi = batch_ranges[bi]
+            mat = _build_mat(lo, hi)
+            pend.append((mat, _dispatch(mat)))
+            bi += 1
+
+    _fill_pipeline()
+    while pend:
+        mat, (packed_dev, _c3) = pend.pop(0)
         packed = to_np(packed_dev)
         stride = ecap + 1                    # count row + ecap entries
         nv = packed[::stride, 0][:n_shards]
@@ -284,6 +300,7 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 mate_tid.append(emt[dsel])
                 mate_pos.append(seg[:, 6][dsel])
                 mate_gap.append(eg[dsel])
+        _fill_pipeline()
 
     # --- pass 2: low-mapq reads near discordant mate positions -----------
     if mate_tid and len(np.concatenate(mate_tid)):

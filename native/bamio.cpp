@@ -341,49 +341,74 @@ void* bam_open(const char* path) {
     d->refs.append(reinterpret_cast<char*>(&u[off + 4]), l_name - 1);
     off += 4 + l_name + 4;
   }
-  std::vector<int32_t> cols[11];
+  // two-phase parse: a cheap sequential boundary hop (records are
+  // length-prefixed, so offsets can't be found in parallel), then
+  // PARALLEL field extraction straight into the preallocated columnar
+  // output — the CIGAR walk + name hashing dominate and are
+  // embarrassingly parallel per record range
+  std::vector<size_t> rec_off;
+  rec_off.reserve(u.size() / 128);
   while (off + 4 <= u.size()) {
     int32_t bsz = rd_i32(off);
     size_t rec = off + 4;
     off = rec + bsz;
     if (off > u.size()) break;
-    int32_t tid = rd_i32(rec + 0);
-    int32_t pos = rd_i32(rec + 4);
-    uint8_t l_rn = u[rec + 8];
-    uint8_t mapq = u[rec + 9];
-    uint16_t n_cig; memcpy(&n_cig, &u[rec + 12], 2);
-    uint16_t flag; memcpy(&flag, &u[rec + 14], 2);
-    int32_t l_seq = rd_i32(rec + 16);
-    int32_t mtid = rd_i32(rec + 20);
-    int32_t mpos = rd_i32(rec + 24);
-    int32_t tlen = rd_i32(rec + 28);
-    const char* name = reinterpret_cast<char*>(&u[rec + 32]);
-    size_t cig = rec + 32 + l_rn;
-    int32_t lclip = 0, rclip = 0, nmatch = 0;
-    for (int c = 0; c < n_cig; ++c) {
-      uint32_t v; memcpy(&v, &u[cig + 4 * c], 4);
-      uint32_t ln = v >> 4, op = v & 0xF;
-      if (op == 0 || op == 7 || op == 8) nmatch += ln;
-      if (c == 0 && (op == 4 || op == 5)) lclip = ln;
-      if (c == n_cig - 1 && (op == 4 || op == 5)) rclip = ln;
-    }
-    cols[0].push_back(tid);
-    cols[1].push_back(pos);
-    cols[2].push_back(flag);
-    cols[3].push_back(mapq);
-    cols[4].push_back(mtid);
-    cols[5].push_back(mpos);
-    cols[6].push_back(tlen);
-    cols[7].push_back(lclip);
-    cols[8].push_back(rclip);
-    cols[9].push_back(nmatch);
-    cols[10].push_back(l_seq);
-    d->hashes.push_back(fnv1a(name, normalize(name, l_rn - 1)));
+    rec_off.push_back(rec);
   }
-  d->n = static_cast<int64_t>(cols[0].size());
-  d->i32cols.reserve(d->n * 11);
-  for (int c = 0; c < 11; ++c)
-    d->i32cols.insert(d->i32cols.end(), cols[c].begin(), cols[c].end());
+  size_t n = rec_off.size();
+  d->n = static_cast<int64_t>(n);
+  d->i32cols.resize(n * 11);
+  d->hashes.resize(n);
+  int32_t* cols = d->i32cols.data();
+  uint64_t* hashes = d->hashes.data();
+  unsigned nthreads = std::thread::hardware_concurrency();
+  if (nthreads == 0) nthreads = 2;
+  nthreads = std::max<unsigned>(
+      1, std::min<size_t>(std::min<unsigned>(nthreads, 16), n ? n : 1));
+  size_t per = n ? (n + nthreads - 1) / nthreads : 0;
+  const uint8_t* ub = u.data();
+  auto parse_range = [&](size_t lo_i, size_t hi_i) {
+    for (size_t i = lo_i; i < hi_i; ++i) {
+      size_t rec = rec_off[i];
+      auto rd = [&](size_t o) {
+        int32_t v; memcpy(&v, ub + o, 4); return v;
+      };
+      uint8_t l_rn = ub[rec + 8];
+      uint16_t n_cig; memcpy(&n_cig, ub + rec + 12, 2);
+      uint16_t flag; memcpy(&flag, ub + rec + 14, 2);
+      const char* name = reinterpret_cast<const char*>(ub + rec + 32);
+      size_t cig = rec + 32 + l_rn;
+      int32_t lclip = 0, rclip = 0, nmatch = 0;
+      for (int c = 0; c < n_cig; ++c) {
+        uint32_t v; memcpy(&v, ub + cig + 4 * c, 4);
+        uint32_t ln = v >> 4, op = v & 0xF;
+        if (op == 0 || op == 7 || op == 8) nmatch += ln;
+        if (c == 0 && (op == 4 || op == 5)) lclip = ln;
+        if (c == n_cig - 1 && (op == 4 || op == 5)) rclip = ln;
+      }
+      cols[0 * n + i] = rd(rec + 0);                    // tid
+      cols[1 * n + i] = rd(rec + 4);                    // pos
+      cols[2 * n + i] = flag;
+      cols[3 * n + i] = ub[rec + 9];                    // mapq
+      cols[4 * n + i] = rd(rec + 20);                   // mtid
+      cols[5 * n + i] = rd(rec + 24);                   // mpos
+      cols[6 * n + i] = rd(rec + 28);                   // tlen
+      cols[7 * n + i] = lclip;
+      cols[8 * n + i] = rclip;
+      cols[9 * n + i] = nmatch;
+      cols[10 * n + i] = rd(rec + 16);                  // l_seq
+      hashes[i] = fnv1a(name, normalize(name, l_rn - 1));
+    }
+  };
+  if (nthreads <= 1 || n < 4096) {
+    parse_range(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t < nthreads; ++t)
+      threads.emplace_back(parse_range, t * per,
+                           std::min(n, (t + 1) * per));
+    for (auto& th : threads) th.join();
+  }
   return d;
 }
 
