@@ -97,6 +97,37 @@ def _tid_map(refs: list[str], names: list[str]) -> np.ndarray:
     return np.array([lookup.get(r, -1) for r in refs] + [-1], np.int32)
 
 
+def _focal_candidate_rows(tid, pos, wtid, wstart, wend):
+    """Host pre-filter: ascending indices of records whose (tid, pos)
+    lies inside SOME focal window — the only records the device join
+    (ops/intervals.interval_join: wstart <= pos <= wend, same tid) can
+    ever classify. This is the TPU-ingest analogue of the reference's
+    focal-region position hash (collect_reads_for_gaps.py:31-65): on a
+    tunneled device the upload of 27M full record rows costs ~40 s at
+    tunnel bandwidth while the focal regions cover only a few percent
+    of the genome, so filtering on host before upload is the single
+    biggest collect lever. Exact, not heuristic: windows are merged
+    into maximal [start, end] intervals (coverage-preserving), and the
+    device re-applies the precise join afterwards anyway."""
+    if len(wtid) == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort((wstart, wtid))
+    SH = np.int64(1) << 34
+    ks = wtid[order].astype(np.int64) * SH + wstart[order]
+    ke = wtid[order].astype(np.int64) * SH + wend[order]
+    run_e = np.maximum.accumulate(ke)
+    new = np.ones(len(ks), bool)
+    new[1:] = ks[1:] > run_e[:-1]
+    ms = ks[new]
+    grp = np.cumsum(new) - 1
+    me = np.full(int(grp[-1]) + 1, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(me, grp, ke)
+    key = np.asarray(tid, np.int64) * SH + np.asarray(pos, np.int64)
+    i = np.searchsorted(ms, key, side="right") - 1
+    ok = (i >= 0) & (key <= me[np.clip(i, 0, len(me) - 1)])
+    return np.flatnonzero(ok)
+
+
 def make_extract_step(dims, mesh=None, ecap: int = 1 << 15):
     """Jitted recruitment-entry extraction — THE SAME classification
     block the fused slice runs (parallel/slice.py _classify_extract) —
@@ -220,24 +251,32 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                 jnp.asarray(gap_start), jnp.asarray(gap_end))
     from ..parallel.mp import to_np
 
+    # focal pre-filter (see _focal_candidate_rows): only records whose
+    # position lies in some window can classify — typically a few
+    # percent of a whole-genome library, so the device batches (and
+    # their tunnel uploads) shrink by 10-30x
+    cand = _focal_candidate_rows(tid, np.asarray(aln.pos),
+                                 wcols["tid"], wcols["start"],
+                                 wcols["end"])
+    nc = len(cand)
+    sub_mat = np.empty((nc, 11), np.int32)
+    for i, x in enumerate((tid, aln.pos, aln.flag, aln.mapq, mtid,
+                           aln.mpos, aln.tlen, aln.lclip, aln.rclip)):
+        sub_mat[:, i] = np.asarray(x, np.int32)[cand]
+    hash_sub = name_hash[cand]
+    sub_mat[:, 9] = (hash_sub >> np.uint64(32)).astype(
+        np.uint32).view(np.int32)
+    sub_mat[:, 10] = (hash_sub & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32).view(np.int32)
+
     def _build_mat(lo, hi):
-        sl = slice(lo, hi)
         pad = B - (hi - lo)
+        if not pad:
+            return sub_mat[lo:hi]
         mat = np.empty((B, 11), np.int32)
-        for i, (x, f) in enumerate((
-                (tid, -2), (aln.pos, -1), (aln.flag, 0), (aln.mapq, 0),
-                (mtid, -2), (aln.mpos, -1), (aln.tlen, 0),
-                (aln.lclip, 0), (aln.rclip, 0))):
-            mat[:hi - lo, i] = np.asarray(x[sl], np.int32)
-            if pad:
-                mat[hi - lo:, i] = f
-        hash_c = name_hash[sl]
-        mat[:hi - lo, 9] = (hash_c >> np.uint64(32)).astype(
-            np.uint32).view(np.int32)
-        mat[:hi - lo, 10] = (hash_c & np.uint64(0xFFFFFFFF)).astype(
-            np.uint32).view(np.int32)
-        if pad:
-            mat[hi - lo:, 9:11] = 0
+        mat[:hi - lo] = sub_mat[lo:hi]
+        mat[hi - lo:] = np.array(
+            [-2, -1, 0, 0, -2, -1, 0, 0, 0, 0, 0], np.int32)
         return mat
 
     def _dispatch(mat):
@@ -255,7 +294,7 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
     # of staged [B, 11] uploads alive at once.
     MAX_INFLIGHT = 8
     pend = []
-    batch_ranges = [(lo, min(lo + B, n)) for lo in range(0, n, B)]
+    batch_ranges = [(lo, min(lo + B, nc)) for lo in range(0, nc, B)]
     bi = 0
 
     def _fill_pipeline():
