@@ -90,7 +90,7 @@ def main():
     cpu_rows = run_stage(
         [os.path.join("scripts", "slice_bench.py"), "--cpu",
          f"--shards=1,{n_scale}", "--gaps=64"],
-        timeout=min(remaining() - 150, 180))
+        timeout=max(30, min(remaining() - 150, 180)))
 
     # 2) device-side stage: SW kernel + fused slice (+ production
     #    row), one subprocess, incremental result file survives a

@@ -423,9 +423,7 @@ def _assemble_core(both, blen, row_counts, *, sub_k: int,
     """DBG graph build + unitig emission from any set of strings
     (distinct k-mer strings OR raw reads + revcomps): the graph depends
     only on the strings' DISTINCT (sub_k+1)-mers. row_counts: [rows]
-    source-string multiplicities (bubble-pop coverage weights).
-    want_hist: also return a [HIST]-bucket spectrum of the distinct
-    node sub_k-mers (cheap: the sorted-unique node table is in hand)."""
+    source-string multiplicities (bubble-pop coverage weights)."""
     # ---- edges, then nodes FROM the edges --------------------------------
     # Every sub_k-mer of a k-string (k > sub_k) is the prefix or suffix
     # of one of its (sub_k+1)-mers, so the node set is exactly the set

@@ -208,6 +208,8 @@ def scan_genome_np(genome, min_gap_size: int, max_gaps: int | None = None):
                 "local_start": z, "local_end": z}
     if seq.shape[0] <= HOST_SCAN_MAX:
         starts, ends = find_gap_runs_host(np.asarray(seq), min_gap_size)
+        if max_gaps is not None:         # same contract as device path
+            starts, ends = starts[:max_gaps], ends[:max_gaps]
         n = len(starts)
     else:
         if max_gaps is None:

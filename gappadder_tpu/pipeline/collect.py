@@ -186,7 +186,8 @@ def make_extract_step(dims, mesh=None, ecap: int = 1 << 15):
 def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
                     scaffold_names: list[str], aln: bam_io.Alignments,
                     left: fastq.ReadSet, right: fastq.ReadSet,
-                    use_device_union: bool = True, mesh=None):
+                    use_device_union: bool = True, mesh=None,
+                    initial_ecap: int = 1 << 15):
     """Classify one library; returns recruitment arrays.
 
     Returns dict with 1-D arrays: gap, side, row, hq (bool) — `row`
@@ -238,7 +239,7 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
     n_shards = 1
     if mesh is not None:
         n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    ecap = 1 << 15
+    ecap = initial_ecap
     extract, shardings = make_extract_step(dims, mesh, ecap)
 
     B = cfg.tpu.read_batch
@@ -302,22 +303,27 @@ def collect_library(cfg: Config, lib, gaps: dict[str, np.ndarray],
         while bi < len(batch_ranges) and len(pend) < MAX_INFLIGHT:
             lo, hi = batch_ranges[bi]
             mat = _build_mat(lo, hi)
-            pend.append((mat, _dispatch(mat)))
+            # record the ecap this batch was dispatched with: after an
+            # overflow regrow, in-flight batches still carry the OLD
+            # [n_shards*(old_ecap+1), 7] layout and must be parsed with
+            # the stride they were produced with, not the current one
+            pend.append((mat, ecap, _dispatch(mat)))
             bi += 1
 
     _fill_pipeline()
     while pend:
-        mat, (packed_dev, _c3) = pend.pop(0)
+        mat, d_ecap, (packed_dev, _c3) = pend.pop(0)
         packed = to_np(packed_dev)
-        stride = ecap + 1                    # count row + ecap entries
+        stride = d_ecap + 1                  # count row + d_ecap entries
         nv = packed[::stride, 0][:n_shards]
-        while int(nv.max()) > ecap:
+        while int(nv.max()) > d_ecap:
             # device compaction overflowed: grow and REDO this batch
             # (shapes are cached per ecap, so this costs one compile)
-            ecap = 1 << (int(nv.max()) - 1).bit_length()
+            ecap = max(ecap, 1 << (int(nv.max()) - 1).bit_length())
             extract, shardings = make_extract_step(dims, mesh, ecap)
+            d_ecap = ecap
             packed = to_np(_dispatch(mat)[0])
-            stride = ecap + 1
+            stride = d_ecap + 1
             nv = packed[::stride, 0][:n_shards]
         for s in range(n_shards):
             cnt = int(nv[s])

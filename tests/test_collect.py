@@ -213,6 +213,38 @@ def test_mesh_sharded_collect_matches(tmp_path):
         np.testing.assert_array_equal(single[k], sharded[k], k)
 
 
+def test_mesh_ecap_regrow_with_inflight_batches(tmp_path):
+    """ADVICE r4 (medium): an ecap overflow regrow must not corrupt
+    batches already in the in-flight pipeline — they carry the OLD
+    [n_shards*(old_ecap+1), 7] packed layout and must be parsed with
+    the stride they were dispatched with. Forces overflow by starting
+    with a tiny ecap and a small read batch so several batches are in
+    flight when the regrow happens, on an 8-shard mesh (where the bug
+    silently corrupted shard >= 1 segments)."""
+    import dataclasses
+    import jax
+    from gappadder_tpu.parallel.mesh import make_mesh
+    from gappadder_tpu.pipeline.collect import collect_library, \
+        read_bam_any, read_fastq_any
+    rng = np.random.default_rng(3)
+    recs = _gen_records(rng)
+    cfg, ws, gaps, rec, readsets = _pipeline_run(tmp_path, recs, 300, 50)
+    cfg = dataclasses.replace(
+        cfg, tpu=dataclasses.replace(cfg.tpu, read_batch=64))
+    lib = cfg.libraries[0]
+    aln = read_bam_any(lib.bam)
+    left = read_fastq_any(lib.left_fq)
+    right = read_fastq_any(lib.right_fq)
+    names = ws.load_json("scaffold_names")
+    mesh = make_mesh(devices=jax.devices()[:8])
+    ref = collect_library(cfg, lib, gaps, names, aln, left, right,
+                          mesh=mesh)
+    grown = collect_library(cfg, lib, gaps, names, aln, left, right,
+                            mesh=mesh, initial_ecap=4)
+    for k in ("gap", "side", "row", "hq"):
+        np.testing.assert_array_equal(ref[k], grown[k], k)
+
+
 def test_bam_roundtrip(tmp_path):
     refs = [("c1", 1000), ("c2", 500)]
     recs = [
