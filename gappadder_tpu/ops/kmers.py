@@ -140,13 +140,14 @@ def sort_kmers(limbs, extra=None):
     """Sort a [..., P, nl] k-mer array lexicographically along P.
 
     extra: optional list of [..., P] arrays carried through the sort.
-    Returns (sorted_limbs, sorted_extras).
+    Returns (sorted_limbs, sorted_extras). On TPU, large sorts run in
+    the Pallas bitonic kernel (ops/psort.py); elsewhere lax.sort.
     """
+    from . import psort
     nl = limbs.shape[-1]
     ops = [limbs[..., l] for l in range(nl)]
     extras = list(extra) if extra is not None else []
-    res = jax.lax.sort(tuple(ops + extras), dimension=limbs.ndim - 2,
-                       num_keys=nl)
+    res = psort.bitonic_sort(tuple(ops + extras), num_keys=nl)
     s = jnp.stack(res[:nl], axis=-1)
     return s, list(res[nl:])
 

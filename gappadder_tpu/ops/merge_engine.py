@@ -417,12 +417,14 @@ def merge_info_lines(names: list[str], infos: list[list[int]]):
     """Reference .merge.info lines (OutputContigsInfoVer2,
     ContigsCompactor.cpp:1545-1563): 'NEW_CONTIG_MERGE_<i>  <members>'
     where members are the path's contig names, each preceded by one
-    space, revcomp twins suffixed _R (CompactVer3's twin naming)."""
+    space, revcomp twins suffixed _R (CompactVer3's twin naming).
+    Numbering starts at 1 — the binary's `static int contigNumNext = 1`
+    (ContigsCompactor.cpp:929-960)."""
     out = []
     for i, path in enumerate(infos):
         mem = "".join(f" {names[v // 2]}{'_R' if v & 1 else ''}"
                       for v in path)
-        out.append(f"NEW_CONTIG_MERGE_{i}  {mem}")  # '<name>  <" name">*'
+        out.append(f"NEW_CONTIG_MERGE_{i + 1}  {mem}")
     return sorted(out)  # the reference's map<string,...> iteration order
 
 

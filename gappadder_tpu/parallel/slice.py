@@ -277,9 +277,17 @@ def _assemble_block(seq, rlen, dims: SliceDims):
     over_edges = jnp.zeros((), jnp.int32)
     over_nk = jnp.zeros((), jnp.int32)
     hist = jnp.zeros((HIST_BUCKETS,), jnp.int32)
+    # the reference pairs each k with SEVERAL sub_k values
+    # (configuration.json: {30: (29,27), 40: (39,37), 50: (49,47)});
+    # the distinct-k-mer table depends only on k, so compute it once
+    # per unique k instead of once per setting (the count stage is the
+    # block's biggest sort — do not trust XLA CSE across chunked loops)
+    kcache: dict = {}
     for si, (k, sub_k) in enumerate(dims.kset):
         ncap = dims.effective_node_cap(k)
-        acc, kstr, nk, kcnt, distinct = _distinct_kmers(seq, rlen, k, dims)
+        if k not in kcache:
+            kcache[k] = _distinct_kmers(seq, rlen, k, dims)
+        acc, kstr, nk, kcnt, distinct = kcache[k]
         if si == 0:
             h = (acc[..., 0] >> 16) % HIST_BUCKETS
             hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[

@@ -124,11 +124,12 @@ def filter_min_count(acc, cnt, min_count: int):
 
 @jax.jit
 def _merge_chunk_impl(acc, acc_cnt, limbs_new, cnt_new):
+    from ..ops import psort
     G, M, nl = acc.shape
     both = jnp.concatenate([acc, limbs_new], axis=1)
     cnts = jnp.concatenate([acc_cnt, cnt_new], axis=1)
     ops = [both[..., l] for l in range(nl)] + [cnts]
-    res = jax.lax.sort(tuple(ops), dimension=1, num_keys=nl)
+    res = psort.bitonic_sort(tuple(ops), num_keys=nl)
     s = jnp.stack(res[:nl], axis=-1)
     scnt = res[nl]
     first = kmers.unique_mask(s)
@@ -182,10 +183,11 @@ def _merge_chunk_nocnt_impl(acc, limbs_new):
     min_kmer_count nor bubble popping needs counts, the count operand
     and the segment sums are pure overhead — this drops them from the
     block's biggest sort."""
+    from ..ops import psort
     G, M, nl = acc.shape
     both = jnp.concatenate([acc, limbs_new], axis=1)
     ops = [both[..., l] for l in range(nl)]
-    res = jax.lax.sort(tuple(ops), dimension=1, num_keys=nl)
+    res = psort.bitonic_sort(tuple(ops), num_keys=nl)
     s = jnp.stack(res, axis=-1)
     first = kmers.unique_mask(s)
     keep = first & ~jnp.all(s == jnp.uint32(FULL), axis=-1)
@@ -268,9 +270,15 @@ def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
     """
     G = reads.shape[0]
     seqs, lens, counts, names = [], [], [], [[] for _ in range(G)]
+    # distinct-k-mer tables depend only on k; the reference pairs each
+    # k with several sub_k values (configuration.json k 30/40/50 x two
+    # velvet sub-ks) — count once per unique k, not once per setting
+    kmer_cache: dict = {}
     for (k, sub_k) in cfg.kmers:
-        kstr, nk, kcnt = count_gap_kmers(cfg, reads, read_len, n_reads, k,
-                                         max_distinct)
+        if k not in kmer_cache:
+            kmer_cache[k] = count_gap_kmers(cfg, reads, read_len,
+                                            n_reads, k, max_distinct)
+        kstr, nk, kcnt = kmer_cache[k]
         md = kstr.shape[1]
         if cfg.max_contig_len > 0:
             max_len = cfg.max_contig_len

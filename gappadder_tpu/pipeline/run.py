@@ -62,7 +62,10 @@ def refine_contigs_multi(items, mcfg: merge_engine.MergeConfig):
                 minfo[i] = merge_engine.merge_info_lines(nameses[i], infos)
                 clists[i] = clists[i] + merged
                 nameses[i] = nameses[i] + [
-                    f"NEW_CONTIG_MERGE_{j}" for j in range(len(merged))]
+                    # 1-based: the binary's `static int contigNumNext=1`
+                    # (ContigsCompactor.cpp:929-960)
+                    f"NEW_CONTIG_MERGE_{j + 1}" for j in
+                    range(len(merged))]
                 redo.append(i)
         if redo:
             keeps2 = merge_engine.dedup_contigs_multi(

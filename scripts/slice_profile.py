@@ -28,6 +28,7 @@ def main():
         jax.config.update("jax_num_cpu_devices", 8)
     gaps = 16
     skew = "--skew" in sys.argv
+    production = "--production" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--gaps="):
             gaps = int(a.split("=")[1])
@@ -46,7 +47,7 @@ def main():
     from slice_bench import bench_scenario
 
     mesh = make_mesh(shape=(1,), axes=("dp",), devices=jax.devices()[:1])
-    dims, args = bench_scenario(1, gaps, skew=skew)
+    dims, args = bench_scenario(1, gaps, skew=skew, production=production)
     placed = sl.place_args(mesh, args)
 
     def prefix_fn(upto):
@@ -128,7 +129,8 @@ def main():
             times[K] = best
         return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
 
-    out = {"backend": jax.default_backend(), "gaps": gaps, "skew": skew}
+    out = {"backend": jax.default_backend(), "gaps": gaps, "skew": skew,
+           "production": production}
     prev = 0.0
     for b in ("classify", "route", "gather", "kmers", "assemble",
               "full"):

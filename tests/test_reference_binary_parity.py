@@ -205,6 +205,10 @@ def test_merge_info_matches_reference_binary(ref_binary, tmp_path, rng):
         return sorted(out)
 
     assert members_of(lines) == members_of(ref_info)
+    # numbering parity: the binary's counter starts at 1 and advances
+    # only on emission (static contigNumNext, ContigsCompactor.cpp:929)
+    assert sorted(ln.split("  ", 1)[0] for ln in lines) == \
+        sorted(ln.split("  ", 1)[0] for ln in ref_info)
 
 
 def test_merge_gml_matches_reference_binary(ref_binary, tmp_path, rng):
