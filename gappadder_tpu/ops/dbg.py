@@ -128,6 +128,53 @@ def _kmer_base(limbs, i: int):
     return ((limbs[..., l] >> (30 - 2 * j)) & 0x3).astype(jnp.int8)
 
 
+def _prefix_kmer_dyn(edge_limbs, sub_k):
+    """First sub_k bases of a packed (sub_k+1)-mer, sub_k TRACED (a
+    per-vmap-lane scalar in the multi-setting batched core)."""
+    nl = edge_limbs.shape[-1]
+    out = []
+    for l in range(nl):
+        used = jnp.clip(sub_k - 16 * l, 0, 16).astype(jnp.uint32)
+        mask = jnp.where(used > 0,
+                         FULL << (jnp.uint32(32) - 2 * used),
+                         jnp.uint32(0))
+        out.append(edge_limbs[..., l] & mask)
+    res = jnp.stack(out, axis=-1)
+    invalid = jnp.all(edge_limbs == FULL, axis=-1, keepdims=True)
+    return jnp.where(invalid, FULL, res)
+
+
+def _suffix_kmer_dyn(edge_limbs, sub_k):
+    """Last sub_k bases of a packed (sub_k+1)-mer, sub_k traced."""
+    nl = edge_limbs.shape[-1]
+    out = []
+    for l in range(nl):
+        v = edge_limbs[..., l] << 2
+        if l + 1 < nl:
+            v = v | (edge_limbs[..., l + 1] >> 30)
+        used = jnp.clip(sub_k - 16 * l, 0, 16).astype(jnp.uint32)
+        mask = jnp.where(used > 0,
+                         FULL << (jnp.uint32(32) - 2 * used),
+                         jnp.uint32(0))
+        out.append(v & mask)
+    res = jnp.stack(out, axis=-1)
+    invalid = jnp.all(edge_limbs == FULL, axis=-1, keepdims=True)
+    return jnp.where(invalid, FULL, res)
+
+
+def _kmer_base_dyn(limbs, i):
+    """Base code at TRACED position i of a packed k-mer (select over
+    the static limb axis — nl <= 4, so this is a couple of wheres)."""
+    l = i // 16
+    j = (i % 16).astype(jnp.uint32)
+    sh = jnp.uint32(30) - 2 * j
+    sel = jnp.zeros(limbs.shape[:-1], jnp.uint32)
+    for ll in range(limbs.shape[-1]):
+        cand = (limbs[..., ll] >> sh) & 0x3
+        sel = jnp.where(l == ll, cand, sel)
+    return sel.astype(jnp.int8)
+
+
 def _join_ids_safe(node_keys, query_keys):
     """For each query k-mer, the index of its key in node_keys.
 
@@ -284,21 +331,18 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
                 tail_of=tail_of)
 
 
-def _node_coverage(node_keys, occ_limbs, occ_valid, row_counts):
+def _node_coverage(node_keys, occ_keys, occ_valid, occ_w):
     """Coverage of each DBG node: sum of source-string multiplicities
     over every occurrence of the node's sub_k-mer.
 
-    occ_limbs: [R, P, nl] sub_k-mer occurrences; occ_valid: [R, P];
-    row_counts: int32 [R] multiplicity of each source string.
-    """
-    nl = occ_limbs.shape[-1]
-    flat = occ_limbs.reshape(-1, nl)
-    fval = occ_valid.reshape(-1)
-    w = jnp.broadcast_to(row_counts[:, None], occ_valid.shape).reshape(-1)
-    ids = _join_ids_safe(node_keys, flat)
+    occ_keys: [Q, nl] flattened sub_k-mer occurrences; occ_valid: [Q];
+    occ_w: int32 [Q] weight of each occurrence (its source string's
+    multiplicity)."""
+    ids = _join_ids_safe(node_keys, occ_keys)
     N = node_keys.shape[0]
     cov = jnp.zeros(N + 1, jnp.int32).at[
-        jnp.where(fval, ids, N)].add(jnp.where(fval, w, 0), mode="drop")
+        jnp.where(occ_valid, ids, N)].add(
+        jnp.where(occ_valid, occ_w, 0), mode="drop")
     return cov[:N]
 
 
@@ -359,99 +403,44 @@ def _pop_bubbles_round(g, cov, edge_valid, node_valid, N: int,
     return node_valid, edge_valid
 
 
-def assemble_unitigs_single(kstrings, n_kstrings, kcounts=None, *, k: int,
-                            sub_k: int, max_unitigs: int, max_len: int,
-                            min_len: int, pop_bubbles: int = 0,
-                            max_bubble_len: int | None = None,
-                            node_cap: int | None = None,
-                            edge_cap: int | None = None):
-    """Assemble one gap's distinct k-mer strings into unitigs.
+def _core_lane(occ_keys, sub_k, covdata, *, sub_k_max: int,
+               max_unitigs: int, max_len: int, min_len: int,
+               pop_bubbles: int = 0, max_bubble_len: int | None = None,
+               node_cap: int, edge_cap: int):
+    """DBG build + unitig emission for ONE (gap, setting) lane.
 
-    Args:
-      kstrings: int8 [M, k] distinct k-mer strings (rows >= n_kstrings
-        are padding and ignored).
-      n_kstrings: int32 scalar.
-      kcounts: optional int32 [M] multiplicity of each k-string in the
-        reads (from the counting stage); used as bubble-pop coverage.
-      sub_k: DBG node size (< k).
-      max_unitigs / max_len: static output bounds (longest unitigs win).
-      min_len: drop unitigs shorter than this (velvetg -min_contig_lgth).
-      pop_bubbles: number of coverage-guided bubble-pop rounds (0 = off;
-        the Velvet tour-bus equivalent, see module docstring).
-      max_bubble_len: max branch length in bases to consider a bubble
-        (default 2*(sub_k+1), covering SNP/small-indel error bubbles).
-      node_cap / edge_cap: optional static working-set bounds. The
-        pointer-doubling gathers scale with the padded node count, and
-        the worst-case bound 2M*(k-sub_k+1) is ~6x the typical distinct
-        count (consecutive k-mers share sub_k-mers), so tighter caps
-        are a direct TPU speedup. When set, the actual distinct counts
-        are RETURNED so the caller can detect overflow and retry bigger
-        (results are garbage if exceeded — never silent: the counts say
-        so).
-
-    Returns:
-      seqs: int8 [max_unitigs, max_len] (N-padded),
-      lens: int32 [max_unitigs],
-      count: int32 scalar;
-      when node_cap/edge_cap are set, also (n_nodes_raw, n_edges_raw)
-      int32 scalars for overflow detection.
+    occ_keys: [Q, nl] flattened (sub_k+1)-mer occurrence keys of the
+    lane's k-strings + revcomps (FULL-padded); the graph depends only
+    on their DISTINCT set. sub_k is a TRACED scalar — the multi-setting
+    entry batches lanes with different sub_k through one program, with
+    sub_k_max the static bound for emission loops. covdata: None, or
+    (keys [Qn, nl], valid [Qn], w [Qn]) sub_k-mer occurrences for
+    bubble-pop coverage.
     """
-    M, kk = kstrings.shape
-    assert kk == k and sub_k < k
-    row_valid = jnp.arange(M) < n_kstrings
-    fwd = jnp.where(row_valid[:, None], kstrings, dna.N)
-    rc = dna.revcomp_jnp(fwd)  # padding N stays N
-    both = jnp.concatenate([fwd, rc], axis=0)                 # [2M, k]
-    blen = jnp.where(jnp.concatenate([row_valid, row_valid]), k, 0)
-    if kcounts is None:
-        row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
-    else:
-        row_counts = jnp.where(row_valid, kcounts, 0).astype(jnp.int32)
-    return _assemble_core(
-        both, blen, jnp.concatenate([row_counts, row_counts]),
-        sub_k=sub_k, max_unitigs=max_unitigs, max_len=max_len,
-        min_len=min_len, pop_bubbles=pop_bubbles,
-        max_bubble_len=max_bubble_len, node_cap=node_cap,
-        edge_cap=edge_cap)
-
-
-def _assemble_core(both, blen, row_counts, *, sub_k: int,
-                   max_unitigs: int, max_len: int, min_len: int,
-                   pop_bubbles: int = 0, max_bubble_len: int | None = None,
-                   node_cap: int | None = None,
-                   edge_cap: int | None = None):
-    """DBG graph build + unitig emission from any set of strings
-    (distinct k-mer strings OR raw reads + revcomps): the graph depends
-    only on the strings' DISTINCT (sub_k+1)-mers. row_counts: [rows]
-    source-string multiplicities (bubble-pop coverage weights)."""
     # ---- edges, then nodes FROM the edges --------------------------------
     # Every sub_k-mer of a k-string (k > sub_k) is the prefix or suffix
     # of one of its (sub_k+1)-mers, so the node set is exactly the set
     # of distinct edge endpoints: one sort of the [2E] endpoint list
     # yields node enumeration (rank of first occurrence), u_id/v_id
     # (rank scattered back through the sort payload) AND the compacted
-    # sorted-unique node_keys — replacing the raw-occurrence
-    # unique-compact plus two sort-merge joins of the previous design
-    # (3 large sorts -> 1; the sorts were the remaining DBG cost center
-    # after the doubling rewrite, see scripts/slice_profile.py).
-    elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)     # [2M, P2, nl2]
-    edge_keys, n_edges = _unique_compact(
-        elimb.reshape(-1, elimb.shape[-1])[None])
+    # sorted-unique node_keys.
+    edge_keys, n_edges = _unique_compact(occ_keys[None])
     edge_keys, n_edges = edge_keys[0], n_edges[0]
     n_edges_raw = n_edges
-    if edge_cap is not None and edge_cap < edge_keys.shape[0]:
+    if edge_cap < edge_keys.shape[0]:
         edge_keys = edge_keys[:edge_cap]
         n_edges = jnp.minimum(n_edges, edge_cap)
     E = edge_keys.shape[0]
     edge_valid = jnp.arange(E) < n_edges
 
-    u_keys = _prefix_kmer(edge_keys, sub_k)
-    v_keys = _suffix_kmer(edge_keys, sub_k)
+    u_keys = _prefix_kmer_dyn(edge_keys, sub_k)
+    v_keys = _suffix_kmer_dyn(edge_keys, sub_k)
     nl = u_keys.shape[-1]
     q = jnp.concatenate([u_keys, v_keys], axis=0)             # [2E, nl]
     pay = jnp.arange(2 * E, dtype=jnp.int32)
+    from . import psort
     ops = tuple(q[:, l] for l in range(nl)) + (pay,)
-    res = jax.lax.sort(ops, dimension=0, num_keys=nl)
+    res = psort.bitonic_sort(ops, num_keys=nl)
     sq = jnp.stack(res[:nl], axis=-1)                         # [2E, nl]
     spay = res[nl]
     vrow = ~jnp.all(sq == FULL, axis=-1)
@@ -459,9 +448,7 @@ def _assemble_core(both, blen, row_counts, *, sub_k: int,
     rank = jnp.cumsum(firsts.astype(jnp.int32)) - 1           # id per row
     n_nodes_raw = jnp.sum(firsts).astype(jnp.int32)
 
-    # uncapped: 2E endpoint rows bound the distinct-node count by
-    # construction, so rank < N always and nothing can truncate
-    N = 2 * E if node_cap is None else node_cap
+    N = node_cap
     n_nodes = jnp.minimum(n_nodes_raw, N)
     node_valid = jnp.arange(N) < n_nodes
     rank_c = jnp.clip(rank, 0, N - 1)
@@ -476,11 +463,9 @@ def _assemble_core(both, blen, row_counts, *, sub_k: int,
 
     # ---- bubble popping (tour-bus equivalent) ----------------------------
     if pop_bubbles > 0:
-        # node occurrences only exist for coverage — extracted lazily
-        # here so the common pop_bubbles=0 path never pays for them
-        nlimb, nval = kmers.extract_kmers(both, blen, sub_k)  # [2M,P1,nl]
-        cov = _node_coverage(node_keys, nlimb, nval, row_counts)
-        mbl = 2 * (sub_k + 1) if max_bubble_len is None else max_bubble_len
+        cov = _node_coverage(node_keys, *covdata)
+        mbl = (2 * (sub_k + 1) if max_bubble_len is None
+               else max_bubble_len)
         for _ in range(pop_bubbles):
             g = _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid,
                               N, sub_k)
@@ -529,15 +514,16 @@ def _assemble_core(both, blen, row_counts, *, sub_k: int,
     # head prefixes: gather the top-k heads' packed k-mers ([U] rows)
     # and lay their sub_k bases into columns — no scatter needed
     head_keys = node_keys[jnp.clip(top, 0, N - 1)]          # [U, nl]
+    cols = min(sub_k_max, max_len)
     prefix = jnp.stack([_kmer_base(head_keys, b)
-                        for b in range(sub_k)], axis=1)     # [U, sub_k]
-    cols = min(sub_k, max_len)
-    out = out.at[:, :cols].set(
-        jnp.where(top_ok[:, None], prefix[:, :cols], dna.N))
+                        for b in range(cols)], axis=1)      # [U, cols]
+    colmask = (jnp.arange(cols)[None, :]
+               < jnp.minimum(sub_k, max_len)) & top_ok[:, None]
+    out = out.at[:, :cols].set(jnp.where(colmask, prefix, dna.N))
     # tail bases: node v at offset o>=1 contributes its last base
     vuid = uidx_of[jnp.where(node_valid, rep, N)]
     pos = sub_k - 1 + off
-    lastb = _kmer_base(node_keys, sub_k - 1)
+    lastb = _kmer_base_dyn(node_keys, sub_k - 1)
     w = (vuid >= 0) & (off >= 1) & (pos < max_len) & node_valid
     out = out.at[jnp.where(w, vuid, U), jnp.where(w, pos, 0)].set(
         jnp.where(w, lastb, dna.N).astype(jnp.int8), mode="drop")
@@ -560,32 +546,153 @@ def _assemble_core(both, blen, row_counts, *, sub_k: int,
     lens = jnp.where(keep[order2], lens[order2], 0)
     count = jnp.sum(keep).astype(jnp.int32)
     out = jnp.where((jnp.arange(U) < count)[:, None], out, dna.N)
-    if node_cap is not None or edge_cap is not None:
-        return out, lens, count, n_nodes_raw, n_edges_raw
-    return out, lens, count
+    return out, lens, count, n_nodes_raw, n_edges_raw
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sub_k", "max_unitigs",
-                                             "max_len", "min_len",
-                                             "pop_bubbles",
-                                             "max_bubble_len",
-                                             "node_cap", "edge_cap"))
+def _occurrence_prep(kstrings, n_kstrings, kcounts, *, k: int, sub_k: int,
+                     nl_pad: int, occ_cap: int, occn_cap: int,
+                     pop_bubbles: int):
+    """Per-setting host of the batched core: flattened padded
+    (sub_k+1)-mer occurrence keys [G, occ_cap, nl_pad] of the distinct
+    k-mer strings + revcomps, and (when bubble-popping) the sub_k-mer
+    occurrence (keys, valid, weights) for coverage. Limb padding keeps
+    lexicographic order (zero tail limbs, FULL on invalid rows)."""
+    G, M, kk = kstrings.shape
+    assert kk == k and sub_k < k
+    row_valid = jnp.arange(M)[None, :] < n_kstrings[:, None]
+    fwd = jnp.where(row_valid[..., None], kstrings, dna.N)
+    rc = dna.revcomp_jnp(fwd)
+    both = jnp.concatenate([fwd, rc], axis=1)                # [G, 2M, k]
+    blen = jnp.where(jnp.concatenate([row_valid, row_valid], axis=1),
+                     k, 0)
+
+    def _flat_pad(limbs, cap):
+        nl = limbs.shape[-1]
+        flat = limbs.reshape(G, -1, nl)
+        if nl < nl_pad:
+            inval = jnp.all(flat == FULL, axis=-1, keepdims=True)
+            tail = jnp.where(inval, FULL, jnp.uint32(0))
+            flat = jnp.concatenate(
+                [flat] + [tail] * (nl_pad - nl), axis=-1)
+        if flat.shape[1] < cap:
+            flat = jnp.pad(flat, ((0, 0), (0, cap - flat.shape[1]),
+                                  (0, 0)), constant_values=FULL)
+        return flat
+
+    elimb, _ = kmers.extract_kmers(both, blen, sub_k + 1)
+    occ = _flat_pad(elimb, occ_cap)
+
+    cov = None
+    if pop_bubbles > 0:
+        if kcounts is None:
+            row_counts = jnp.where(row_valid, 1, 0).astype(jnp.int32)
+        else:
+            row_counts = jnp.where(row_valid, kcounts, 0).astype(jnp.int32)
+        rc2 = jnp.concatenate([row_counts, row_counts], axis=1)  # [G, 2M]
+        nlimb, nval = kmers.extract_kmers(both, blen, sub_k)
+        P1 = nlimb.shape[2]
+        nkeys = _flat_pad(nlimb, occn_cap)
+        val = nval.reshape(G, -1)
+        wgt = jnp.broadcast_to(rc2[:, :, None],
+                               (G, 2 * M, P1)).reshape(G, -1)
+        if val.shape[1] < occn_cap:
+            pad = occn_cap - val.shape[1]
+            val = jnp.pad(val, ((0, 0), (0, pad)))
+            wgt = jnp.pad(wgt, ((0, 0), (0, pad)))
+        cov = (nkeys, val, wgt)
+    return occ, cov
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "settings", "max_unitigs", "max_len", "min_len", "pop_bubbles",
+    "max_bubble_len", "node_cap", "edge_cap"))
+def assemble_unitigs_multi(kstr_list, nk_list, kcnt_list, *, settings,
+                           max_unitigs: int = 64, max_len: int = 1024,
+                           min_len: int = 40, pop_bubbles: int = 0,
+                           max_bubble_len: int | None = None,
+                           node_cap: int, edge_cap: int):
+    """ALL (k, sub_k) settings over a gap batch in ONE vmapped program.
+
+    The reference runs one KMC+Velvet soup per setting per gap
+    (/root/reference/assemble_gaps.py:96-122); the round-4 design ran
+    one XLA program per setting. Here every (gap, setting) pair is one
+    vmap lane with its sub_k as per-lane DATA: 6 settings batch into a
+    single program whose sorts/gathers are 6x fatter — the difference
+    between launch-latency-bound and throughput-bound on TPU (the DBG
+    block was 225 ms of the 252 ms production step, scripts/
+    slice_profile.py --production).
+
+    kstr_list/nk_list/kcnt_list: per-setting [G, M_s, k_s] / [G] /
+    ([G, M_s] or None). node_cap/edge_cap: uniform static caps (max of
+    the per-setting caps). Returns per-setting lists of
+    (useq [G, mu, Lc], ulen, ucnt, n_nodes_raw, n_edges_raw).
+    """
+    S = len(settings)
+    G = kstr_list[0].shape[0]
+    nl_pad = max(kmers.num_limbs(sk + 1) for _, sk in settings)
+    occ_caps = [2 * kstr_list[i].shape[1] * (k - sk)
+                for i, (k, sk) in enumerate(settings)]
+    occ_cap = max(occ_caps)
+    occn_cap = max(2 * kstr_list[i].shape[1] * (k - sk + 1)
+                   for i, (k, sk) in enumerate(settings))
+    sub_k_max = max(sk for _, sk in settings)
+
+    occs, covs = [], []
+    for i, (k, sk) in enumerate(settings):
+        occ, cov = _occurrence_prep(
+            kstr_list[i], nk_list[i],
+            None if kcnt_list is None else kcnt_list[i],
+            k=k, sub_k=sk, nl_pad=nl_pad, occ_cap=occ_cap,
+            occn_cap=occn_cap, pop_bubbles=pop_bubbles)
+        occs.append(occ)
+        covs.append(cov)
+    occ_all = jnp.concatenate(occs, axis=0)        # [S*G, occ_cap, nl]
+    sub_all = jnp.repeat(jnp.asarray([sk for _, sk in settings],
+                                     jnp.int32), G)
+
+    fn = functools.partial(
+        _core_lane, sub_k_max=sub_k_max, max_unitigs=max_unitigs,
+        max_len=max_len, min_len=min_len, pop_bubbles=pop_bubbles,
+        max_bubble_len=max_bubble_len, node_cap=node_cap,
+        edge_cap=edge_cap)
+    if pop_bubbles > 0:
+        cov_all = tuple(jnp.concatenate([c[i] for c in covs], axis=0)
+                        for i in range(3))
+        out = jax.vmap(lambda o, s, ck, cv, cw:
+                       fn(o, s, (ck, cv, cw)))(occ_all, sub_all, *cov_all)
+    else:
+        out = jax.vmap(lambda o, s: fn(o, s, None))(occ_all, sub_all)
+    # unstack per setting
+    return [tuple(x[i * G:(i + 1) * G] for x in out) for i in range(S)]
+
+
 def assemble_unitigs(kstrings, n_kstrings, kcounts=None, *, k: int,
                      sub_k: int, max_unitigs: int = 64, max_len: int = 1024,
                      min_len: int = 40, pop_bubbles: int = 0,
                      max_bubble_len: int | None = None,
                      node_cap: int | None = None,
                      edge_cap: int | None = None):
-    """Batched over gaps: kstrings [G, M, k], n_kstrings [G],
-    kcounts optional [G, M]."""
-    fn = functools.partial(assemble_unitigs_single, k=k, sub_k=sub_k,
-                           max_unitigs=max_unitigs, max_len=max_len,
-                           min_len=min_len, pop_bubbles=pop_bubbles,
-                           max_bubble_len=max_bubble_len,
-                           node_cap=node_cap, edge_cap=edge_cap)
-    if kcounts is None:
-        return jax.vmap(lambda a, b: fn(a, b))(kstrings, n_kstrings)
-    return jax.vmap(fn)(kstrings, n_kstrings, kcounts)
+    """Batched over gaps, one (k, sub_k) setting: kstrings [G, M, k],
+    n_kstrings [G], kcounts optional [G, M]. Thin wrapper over
+    assemble_unitigs_multi (the single shared core). When
+    node_cap/edge_cap are omitted, provably-sufficient bounds are used
+    (2E endpoint rows bound distinct nodes by construction) and only
+    (seqs, lens, count) is returned — the capped form also returns
+    (n_nodes_raw, n_edges_raw) for overflow detection."""
+    M = kstrings.shape[1]
+    occ = 2 * M * (k - sub_k)
+    capped = node_cap is not None or edge_cap is not None
+    ecap = occ if edge_cap is None else edge_cap
+    ncap = 2 * ecap if node_cap is None else node_cap
+    res = assemble_unitigs_multi(
+        (kstrings,), (n_kstrings,),
+        None if kcounts is None else (kcounts,),
+        settings=((k, sub_k),), max_unitigs=max_unitigs,
+        max_len=max_len, min_len=min_len, pop_bubbles=pop_bubbles,
+        max_bubble_len=max_bubble_len, node_cap=ncap, edge_cap=ecap)[0]
+    if capped:
+        return res
+    return res[:3]
 
 
 def unpack_kmers_to_strings(limbs, k: int):

@@ -284,7 +284,6 @@ def _assemble_block(seq, rlen, dims: SliceDims):
     # block's biggest sort — do not trust XLA CSE across chunked loops)
     kcache: dict = {}
     for si, (k, sub_k) in enumerate(dims.kset):
-        ncap = dims.effective_node_cap(k)
         if k not in kcache:
             kcache[k] = _distinct_kmers(seq, rlen, k, dims)
         acc, kstr, nk, kcnt, distinct = kcache[k]
@@ -293,12 +292,20 @@ def _assemble_block(seq, rlen, dims: SliceDims):
             hist = jnp.zeros((HIST_BUCKETS,), jnp.int32).at[
                 jnp.where(distinct, h, 0).reshape(-1)].add(
                 distinct.reshape(-1).astype(jnp.int32), mode="drop")
-        us, ul, uc, nn_raw, ne_raw = dbg.assemble_unitigs(
-            kstr, nk, kcnt, k=k, sub_k=sub_k,
-            max_unitigs=mu, max_len=Lc, min_len=dims.min_contig_len,
-            pop_bubbles=dims.pop_bubbles, node_cap=ncap,
-            edge_cap=ncap)
         over_nk = jnp.maximum(over_nk, jnp.max(nk, initial=0))
+    # ALL settings' DBGs in one batched program (each (gap, setting)
+    # is a vmap lane with its sub_k as per-lane data): 6 settings of
+    # launch-latency-bound small ops become one program of 6x-fatter
+    # sorts/gathers — the DBG block was 90% of the production step
+    ncap = max(dims.effective_node_cap(k) for k, _ in dims.kset)
+    res = dbg.assemble_unitigs_multi(
+        tuple(kcache[k][1] for k, _ in dims.kset),
+        tuple(kcache[k][2] for k, _ in dims.kset),
+        tuple(kcache[k][3] for k, _ in dims.kset),
+        settings=dims.kset, max_unitigs=mu, max_len=Lc,
+        min_len=dims.min_contig_len, pop_bubbles=dims.pop_bubbles,
+        node_cap=ncap, edge_cap=ncap)
+    for us, ul, uc, nn_raw, ne_raw in res:
         useqs.append(us)
         ulens.append(ul)
         ucnts.append(uc)

@@ -21,7 +21,7 @@ sys.path.insert(0, _ROOT)
 import numpy as np
 
 
-def slope_time(make_chain, placed, k_lo=1, k_hi=9, repeats=5):
+def slope_time(make_chain, placed, k_lo=1, k_hi=3, repeats=7):
     times = {}
     for K in (k_lo, k_hi):
         f = make_chain(K)

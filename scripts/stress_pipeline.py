@@ -3,7 +3,11 @@ shape, scaled down): N scaffolds, many gaps, one PE library.
 
 Usage:
   python scripts/stress_pipeline.py [n_gaps] [scaffold_kb] [--cpu]
-      [--dir=PATH] [--sim-only | --run-only]
+      [--dir=PATH] [--sim-only | --run-only] [--repeat=N]
+
+--repeat=N reruns the pipeline N times (fresh workspace each) and
+reports per-stage median (min..max) with boundary-probe stall seconds
+split out — tunnel-weather-robust numbers for BASELINE rows.
 
 Default runs simulate + pipeline in one process. For honest peak-RSS
 measurement of the PIPELINE (VERDICT r2 missing #4: bounded-memory
@@ -84,44 +88,82 @@ def simulate(tmp, n_gaps, scaf_kb, rng):
           f"({len(all_recs)} records, {n_gaps} gaps)")
 
 
-def run_pipeline(tmp):
+def _probe_stall():
+    """Time one 4-byte device->host readback. Transport stalls on the
+    tunneled TPU show up here as multi-second tiny transfers
+    (BASELINE.md transport-stall caveat); on CPU this is ~0."""
+    import jax.numpy as jnp
+    t0 = time.time()
+    np.asarray(jnp.zeros((), jnp.int32) + 1)
+    return time.time() - t0
+
+
+def run_pipeline(tmp, repeat: int = 1):
     from gappadder_tpu import dna
     from gappadder_tpu.config import Config, Library, TpuParams
     from gappadder_tpu.io import fasta
     from gappadder_tpu.pipeline import collect, preprocess, run
     from gappadder_tpu.pipeline.workspace import Workspace
 
-    cfg = Config(
-        draft_genome=str(tmp / "draft.fa"), min_gap_size=50,
-        flank_length=150,
-        working_folder=str(tmp / "work"), kmers=((25, 21), (31, 27)),
-        libraries=(Library(bam=str(tmp / "lib.bam"), insert_size=300,
-                           std=30, left_fq=str(tmp / "l.fq"),
-                           right_fq=str(tmp / "r.fq")),),
-        tpu=TpuParams())
-    ws = Workspace(cfg.workdir)
-    genome = fasta.read_fasta(cfg.draft_genome)
+    genome = fasta.read_fasta(str(tmp / "draft.fa"))
     truth = fasta.read_fasta(str(tmp / "truth.fa"))
 
     def rss():
         return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
-    t0 = time.time()
-    gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
-    t1 = time.time()
-    print(f"preprocess: {t1-t0:.1f}s ({len(gaps['start'])} gaps) "
-          f"[peak RSS {rss():.2f} GB]")
-    rec, readsets = collect.run_collect(cfg, ws, genome=genome)
-    t2 = time.time()
-    print(f"collect: {t2-t1:.1f}s ({len(rec['gap'])} recruits) "
-          f"[peak RSS {rss():.2f} GB]")
-    fills, exts, _ = run.run_assembly_and_pick(cfg, ws, rec=rec,
-                                               readsets=readsets,
-                                               genome=genome)
-    t3 = time.time()
-    print(f"assembly+pick: {t3-t2:.1f}s "
-          f"({len(fills)} closed, {len(exts)} extended) "
-          f"[peak RSS {rss():.2f} GB]")
+    stages = ("preprocess", "collect", "assembly+pick")
+    times = {s: [] for s in stages}
+    stalls = {s: [] for s in stages}
+    _probe_stall()                      # compile the probe once
+    for rep in range(repeat):
+        wf = str(tmp / ("work" if repeat == 1 else f"work_r{rep}"))
+        cfg = Config(
+            draft_genome=str(tmp / "draft.fa"), min_gap_size=50,
+            flank_length=150,
+            working_folder=wf, kmers=((25, 21), (31, 27)),
+            libraries=(Library(bam=str(tmp / "lib.bam"), insert_size=300,
+                               std=30, left_fq=str(tmp / "l.fq"),
+                               right_fq=str(tmp / "r.fq")),),
+            tpu=TpuParams())
+        ws = Workspace(cfg.workdir)
+
+        s0 = _probe_stall()
+        t0 = time.time()
+        gaps = preprocess.run_preprocess(cfg, ws, genome=genome)
+        t1 = time.time()
+        s1 = _probe_stall()
+        rec, readsets = collect.run_collect(cfg, ws, genome=genome)
+        t2 = time.time()
+        s2 = _probe_stall()
+        fills, exts, _ = run.run_assembly_and_pick(
+            cfg, ws, rec=rec, readsets=readsets, genome=genome)
+        t3 = time.time()
+        s3 = _probe_stall()
+        for s, dt, st in zip(stages, (t1 - t0, t2 - t1, t3 - t2),
+                             (s0, s1, s2)):
+            times[s].append(dt)
+            stalls[s].append(st)
+        if rep == 0:
+            print(f"preprocess: {t1-t0:.1f}s ({len(gaps['start'])} gaps) "
+                  f"[peak RSS {rss():.2f} GB]")
+            print(f"collect: {t2-t1:.1f}s ({len(rec['gap'])} recruits) "
+                  f"[peak RSS {rss():.2f} GB]")
+            print(f"assembly+pick: {t3-t2:.1f}s "
+                  f"({len(fills)} closed, {len(exts)} extended) "
+                  f"[peak RSS {rss():.2f} GB]")
+
+    if repeat > 1:
+        # stall-aware reporting (VERDICT r4 next #7): per-stage median
+        # over repeats with min..max spread; boundary-probe stall
+        # seconds listed separately so round-over-round comparisons
+        # aren't polluted by tunnel weather
+        for s in stages:
+            ts = sorted(times[s])
+            med = ts[len(ts) // 2]
+            print(f"{s}: median {med:.1f}s over {repeat} runs "
+                  f"(min {ts[0]:.1f} max {ts[-1]:.1f}); "
+                  f"boundary stalls "
+                  f"{[round(x, 1) for x in stalls[s]]} s")
 
     ok = 0
     for g, (seq, _name) in fills.items():
@@ -135,8 +177,10 @@ def run_pipeline(tmp):
             ok += 1
     n = len(gaps["start"])
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    med_e2e = (sorted(times["collect"])[repeat // 2]
+               + sorted(times["assembly+pick"])[repeat // 2])
     print(f"closure: {len(fills)}/{n} picked, {ok}/{n} bit-exact, "
-          f"{n/(t3-t1):.2f} gaps/s end-to-end, peak RSS {rss_gb:.2f} GB")
+          f"{n/med_e2e:.2f} gaps/s end-to-end, peak RSS {rss_gb:.2f} GB")
 
 
 def main():
@@ -155,9 +199,13 @@ def main():
     sim_only = "--sim-only" in sys.argv
     run_only = "--run-only" in sys.argv
     tmp = None
+    repeat = 1
     for a in list(sys.argv[1:]):
         if a.startswith("--dir="):
             tmp = pathlib.Path(a.split("=", 1)[1])
+            sys.argv.remove(a)
+        elif a.startswith("--repeat="):
+            repeat = int(a.split("=", 1)[1])
             sys.argv.remove(a)
     for flag in ("--sim-only", "--run-only"):
         if flag in sys.argv:
@@ -172,7 +220,7 @@ def main():
     if not run_only:
         simulate(tmp, n_gaps, scaf_kb, rng)
     if not sim_only:
-        run_pipeline(tmp)
+        run_pipeline(tmp, repeat=repeat)
 
 
 if __name__ == "__main__":
