@@ -58,7 +58,11 @@ def revcomp_jnp(codes, length=None):
     """
     import jax.numpy as jnp
 
-    comp = jnp.asarray(COMPLEMENT)[jnp.clip(codes, 0, 5)]
+    # arithmetic complement (A<->T is 0<->3, C<->G is 1<->2, N/SEP
+    # fixed): elementwise, NOT a table gather — per-element gathers on
+    # [G, M, k] int8 arrays measured ~8 ms per DBG setting on v5e
+    codes = jnp.asarray(codes)
+    comp = jnp.where(codes < 4, (3 - codes).astype(codes.dtype), codes)
     if length is None:
         return comp[..., ::-1]
     n = codes.shape[-1]

@@ -133,22 +133,25 @@ def find_gap_runs_host(seq: np.ndarray, min_gap_size: int):
     the jit kernel). Returns (starts, ends) int64 arrays of kept runs
     in order."""
     is_gap = seq == dna.N
-    if not is_gap.any():
+    d = is_gap[1:] != is_gap[:-1]
+    edges = np.flatnonzero(d) + 1
+    if not len(edges) and not (len(seq) and is_gap[0]):
         z = np.zeros(0, np.int64)
         return z, z
-    d = np.diff(is_gap.astype(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1) + 1
+    starts = edges[1::2] if is_gap[0] else edges[0::2]
+    ends = edges[0::2] if is_gap[0] else edges[1::2]
     if is_gap[0]:
         starts = np.concatenate([[0], starts])
     if is_gap[-1]:
         ends = np.concatenate([ends, [len(seq)]])
-    # trailing-run rule: an ACGT must follow within the same scaffold
-    is_acgt = seq < dna.N
-    seg = np.cumsum((seq == dna.SEP)[::-1].astype(np.int64))
-    enc = seg * 2 + is_acgt[::-1]
-    acgt_follows = (np.maximum.accumulate(enc) - seg * 2)[::-1] > 0
-    keep = (ends - starts >= min_gap_size) & acgt_follows[starts]
+    # trailing-run rule: an ACGT must follow within the same scaffold.
+    # The char AFTER a run is never N (the run is maximal) and codes
+    # are only {ACGT, N, SEP}, so "ACGT follows within the scaffold"
+    # reduces to seq[ends] being ACGT — no full-genome segment
+    # accumulates needed (they were ~80% of a 90 MB draft's preprocess)
+    in_bounds = ends < len(seq)
+    nxt = seq[np.minimum(ends, len(seq) - 1)]
+    keep = (ends - starts >= min_gap_size) & in_bounds & (nxt < dna.N)
     return starts[keep].astype(np.int64), ends[keep].astype(np.int64)
 
 

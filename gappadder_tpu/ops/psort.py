@@ -37,14 +37,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# per-operand-plane VMEM bytes budget for one slab (input + output +
-# roll temporaries ~4x live copies); v5e VMEM is ~16 MB
-_VMEM_BUDGET = 8 << 20
+# max bytes of LIVE stacked planes per slab. Mosaic keeps ~8 copies
+# alive across the fori carry + cond branches + roll temporaries
+# (measured: 1.6 MB live compiles, 1.9 MB crashes the remote compile
+# on 16 MB-VMEM v5e), so 1.25 MB live is the safe ceiling
+_LIVE_MAX = 5 << 18
 _MIN_PALLAS_N = 2048     # below this lax.sort's latency is fine
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _pass_tables(n: int):
+    """(sizes, ds) int32 arrays: the bitonic network's pass parameters
+    for length n — size 2,4..n, d size/2..1 within each stage."""
+    sizes, ds = [], []
+    log2n = n.bit_length() - 1
+    for k in range(1, log2n + 1):
+        for j in range(k - 1, -1, -1):
+            sizes.append(1 << k)
+            ds.append(1 << j)
+    return (np.asarray(sizes, np.int32), np.asarray(ds, np.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("num_keys", "n_ops", "R",
@@ -53,76 +67,96 @@ def _next_pow2(n: int) -> int:
 def _bitonic_call(stacked, *, num_keys: int, n_ops: int, R: int, n: int,
                   slab_rows: int, interpret: bool):
     """stacked: uint32 [n_ops, B*R, 128]; sorts each row-group of R
-    rows (one batch element) ascending by the first num_keys planes."""
+    rows (one batch element) ascending by the first num_keys planes.
+
+    The pass schedule lives in SMEM tables and the kernel is ONE
+    fori_loop over passes with dynamic-shift rolls — a fully unrolled
+    network (120 passes x ~30 ops at N=32k) took many-minute remote
+    Mosaic compiles; the looped form is ~60 ops total."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rows_total = stacked.shape[1]
     grid = rows_total // slab_rows
-    log2n = n.bit_length() - 1
+    sizes, ds = _pass_tables(n)
+    n_passes = len(sizes)
 
-    def kernel(x_ref, o_ref):
-        x = x_ref[:]                                  # [n_ops, S, 128]
+    def kernel(sz_ref, d_ref, x_ref, o_ref):
         S = slab_rows
         row = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
         rloc = row & (R - 1)
-        for k in range(1, log2n + 1):
-            size = 1 << k
-            for j in range(k - 1, -1, -1):
-                d = 1 << j
-                if d < 128:
-                    # partner lane = lane ^ d
-                    bp = pltpu.roll(x, d, axis=2)         # x[.., c-d]
-                    bm = pltpu.roll(x, 128 - d, axis=2)   # x[.., c+d]
-                    ibit = (lane & d) != 0
-                else:
-                    dr = d // 128
-                    bp = pltpu.roll(x, dr, axis=1)
-                    bm = pltpu.roll(x, S - dr, axis=1)
-                    ibit = (rloc & dr) != 0
-                b = jnp.where(ibit[None], bp, bm)
-                if size < 128:
-                    sbit = (lane & size) != 0
-                else:
-                    sbit = (rloc & (size // 128)) != 0
-                # ascending block & i is the low index -> keep small
-                take_small = sbit == ibit
-                lt = jnp.zeros((S, 128), bool)
-                gt = jnp.zeros((S, 128), bool)
-                for l in range(num_keys):
-                    av, bv = x[l], b[l]
-                    lt = lt | (~gt & ~lt & (bv < av))
-                    gt = gt | (~lt & ~gt & (bv > av))
-                # NOT jnp.where(take_small, lt, gt): an i1-select with
-                # bool branch operands crashes the Mosaic compiler
-                # (probed 2026-08-21); plain boolean algebra lowers fine
-                take_b = (take_small & lt) | (~take_small & gt)
-                x = jnp.where(take_b[None], b, x)
-        o_ref[:] = x
+
+        def pass_body(i, x):
+            size = sz_ref[i]
+            d = d_ref[i]
+
+            def lane_case(x):
+                bp = pltpu.roll(x, d, axis=2)          # x[.., c-d]
+                bm = pltpu.roll(x, 128 - d, axis=2)    # x[.., c+d]
+                return bp, bm
+
+            def row_case(x):
+                dr = d // 128
+                bp = pltpu.roll(x, dr, axis=1)
+                bm = pltpu.roll(x, S - dr, axis=1)
+                return bp, bm
+
+            is_lane = d < 128
+            bp, bm = jax.lax.cond(is_lane, lane_case, row_case, x)
+            # bool masks via boolean algebra ONLY — i1 selects (where
+            # with bool branches, bool cond results) crash Mosaic
+            ibit = ((is_lane & ((lane & d) != 0))
+                    | (~is_lane & ((rloc & (d // 128)) != 0)))
+            b = jnp.where(ibit[None], bp, bm)
+            # direction bit of the local index i = rloc*128 + lane
+            is_small = size < 128
+            sbit = ((is_small & ((lane & size) != 0))
+                    | (~is_small & ((rloc & (size // 128)) != 0)))
+            # ascending block & i is the low index -> keep small
+            take_small = sbit == ibit
+            lt = jnp.zeros((S, 128), bool)
+            gt = jnp.zeros((S, 128), bool)
+            for l in range(num_keys):
+                av, bv = x[l], b[l]
+                lt = lt | (~gt & ~lt & (bv < av))
+                gt = gt | (~lt & ~gt & (bv > av))
+            # NOT jnp.where(take_small, lt, gt): an i1-select with
+            # bool branch operands crashes the Mosaic compiler
+            # (probed 2026-08-21); plain boolean algebra lowers fine
+            take_b = (take_small & lt) | (~take_small & gt)
+            return jnp.where(take_b[None], b, x)
+
+        o_ref[:] = jax.lax.fori_loop(0, n_passes, pass_body, x_ref[:])
 
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((n_ops, slab_rows, 128),
-                               lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_ops, slab_rows, 128),
+                         lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((n_ops, slab_rows, 128),
                                lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(stacked.shape, jnp.uint32),
         interpret=interpret,
-    )(stacked)
+    )(jnp.asarray(sizes), jnp.asarray(ds), stacked)
 
 
 def _use_pallas(n_pad: int, n_ops: int, backend: str | None) -> bool:
+    import os
+    if os.environ.get("GPT_NO_PSORT"):      # A/B experiments
+        return False
     if (backend or jax.default_backend()) != "tpu":
         return False
     if n_pad < _MIN_PALLAS_N or n_pad < 128:
         return False
     R = n_pad // 128
-    # one batch row (x4 working copies) must fit VMEM comfortably
-    return n_ops * R * 128 * 4 * 4 <= (12 << 20)
+    # one batch row's stacked planes must fit the live-bytes ceiling
+    return n_ops * R * 128 * 4 <= _LIVE_MAX
 
 
 def bitonic_sort(ops, num_keys: int, stable: bool = False,
@@ -179,10 +213,11 @@ def bitonic_sort(ops, num_keys: int, stable: bool = False,
         planes.insert(num_keys, iota)
         num_keys += 1
 
-    # slab: as many batch rows as fit the VMEM budget
-    rows_per_b = R
-    slab_b = max(1, _VMEM_BUDGET // (n_ops * rows_per_b * 128 * 4 * 4))
+    # slab: as many batch rows as fit the live-bytes ceiling, floored
+    # to a power of two (keeps slab_rows pow2: R is pow2)
+    slab_b = max(1, _LIVE_MAX // (n_ops * R * 128 * 4))
     slab_b = min(slab_b, B)
+    slab_b = 1 << (slab_b.bit_length() - 1)
     b_pad = -(-B // slab_b) * slab_b
     stacked = jnp.stack(planes).reshape(n_ops, B, R, 128)
     if b_pad != B:
