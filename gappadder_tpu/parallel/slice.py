@@ -293,18 +293,22 @@ def _assemble_block(seq, rlen, dims: SliceDims):
                 jnp.where(distinct, h, 0).reshape(-1)].add(
                 distinct.reshape(-1).astype(jnp.int32), mode="drop")
         over_nk = jnp.maximum(over_nk, jnp.max(nk, initial=0))
-    # ALL settings' DBGs in one batched program (each (gap, setting)
-    # is a vmap lane with its sub_k as per-lane data): 6 settings of
-    # launch-latency-bound small ops become one program of 6x-fatter
-    # sorts/gathers — the DBG block was 90% of the production step
-    ncap = max(dims.effective_node_cap(k) for k, _ in dims.kset)
-    res = dbg.assemble_unitigs_multi(
-        tuple(kcache[k][1] for k, _ in dims.kset),
-        tuple(kcache[k][2] for k, _ in dims.kset),
-        tuple(kcache[k][3] for k, _ in dims.kset),
-        settings=dims.kset, max_unitigs=mu, max_len=Lc,
-        min_len=dims.min_contig_len, pop_bubbles=dims.pop_bubbles,
-        node_cap=ncap, edge_cap=ncap)
+    # per-setting DBG dispatch through the shared lane core. Measured
+    # (scripts/dbgbench.py, production shape): per-setting 113 ms vs
+    # batched-multi 128 ms — the block is throughput-bound on its
+    # gathers/scatters, so batching settings buys nothing while the
+    # multi path pays occurrence padding + dynamic-sub_k masks. The
+    # REAL lever was cap right-sizing (8192 -> 4096 = 236 -> 113 ms):
+    # SliceDims.node_cap should be set from the scenario's expected
+    # distinct count (example_data does; the shipped path derives caps
+    # from observed nk).
+    res = [dbg.assemble_unitigs(
+        kcache[k][1], kcache[k][2], kcache[k][3], k=k, sub_k=sub_k,
+        max_unitigs=mu, max_len=Lc, min_len=dims.min_contig_len,
+        pop_bubbles=dims.pop_bubbles,
+        node_cap=dims.effective_node_cap(k),
+        edge_cap=dims.effective_node_cap(k))
+        for (k, sub_k) in dims.kset]
     for us, ul, uc, nn_raw, ne_raw in res:
         useqs.append(us)
         ulens.append(ul)
@@ -586,14 +590,22 @@ def example_data(n_shards: int, gaps_per_shard: int = 2, seed: int = 0,
     flank_rl = np.full(G, flank_len, np.int32)
 
     reads_per_gap_actual = (margin * 2 + gap_len - read_len) // step + 1
+    region = 2 * margin + gap_len      # contiguous covered region
+    kmax = max(k for k, _ in kset)
     dims = SliceDims(
         n_shards=n_shards, n_gaps=G, gaps_per_shard=gaps_per_shard,
         entry_cap=max(64, 4 * gaps_per_shard * reads_per_gap_actual),
         reads_per_gap=1 << (reads_per_gap_actual - 1).bit_length(),
         kset=tuple(kset),
         # distinct k-mers per gap <= tiled region length (contiguous)
-        max_distinct=1 << (2 * margin + gap_len).bit_length(),
+        max_distinct=1 << region.bit_length(),
         max_contig_len=1 << (gap_len + 2 * margin).bit_length(),
+        # DBG caps from the EXPECTED distinct count (2 strands of a
+        # contiguous region), not from the padded table size: the
+        # gathers/scatters scale with the padded cap and right-sizing
+        # measured 2x on the whole DBG block (scripts/dbgbench.py);
+        # check_overflow still guards against undersizing
+        node_cap=1 << (2 * region + 4 * kmax).bit_length(),
         route_impl=route_impl, use_pallas=use_pallas)
 
     args = (recs["tid"], recs["pos"], recs["flag"], recs["mapq"],

@@ -278,60 +278,51 @@ def assemble_gap_batch(cfg: Config, reads, read_len, n_reads,
         if k not in kmer_cache:
             kmer_cache[k] = count_gap_kmers(cfg, reads, read_len,
                                             n_reads, k, max_distinct)
-    kstr_list = [kmer_cache[k][0] for k, _ in cfg.kmers]
-    nk_list = [kmer_cache[k][1] for k, _ in cfg.kmers]
-    kcnt_list = [kmer_cache[k][2] for k, _ in cfg.kmers]
-
-    if cfg.max_contig_len > 0:
-        max_len = cfg.max_contig_len
-    else:
-        max_len = _next_pow2(max(ks.shape[1] + k for ks, (k, _) in
-                                 zip(kstr_list, cfg.kmers)))
-    mu = max(cfg.max_unitigs, 1)
-    # DBG working-set caps from the OBSERVED distinct counts: the
-    # pointer-doubling gathers scale with the padded node count and
-    # the worst-case bound is ~6x the typical one (TPU gathers are
-    # the assembly cost center); start near the contiguous-region
-    # estimate 2*(nk + (k-sub_k)) and auto-grow on overflow. All
-    # settings run in ONE batched program (assemble_unitigs_multi), so
-    # the caps are uniform maxima over settings.
-    nk_max = max(max(int(np.asarray(nk).max(initial=0)), 1)
-                 for nk in nk_list)
-    ncap = _next_pow2(2 * nk_max + 4 * max(k for k, _ in cfg.kmers))
-    worst = max(ks.shape[1] * 2 * (k - sk + 1)
-                for ks, (k, sk) in zip(kstr_list, cfg.kmers))
-    while True:
-        res = dbg.assemble_unitigs_multi(
-            tuple(jnp.asarray(a) for a in kstr_list),
-            tuple(jnp.asarray(a) for a in nk_list),
-            tuple(jnp.asarray(a) for a in kcnt_list),
-            settings=tuple(cfg.kmers), max_unitigs=mu, max_len=max_len,
-            min_len=cfg.min_contig_len,
-            pop_bubbles=cfg.bubble_pop_rounds,
-            node_cap=min(ncap, worst), edge_cap=min(ncap, worst))
-        over = max(max(int(np.asarray(r[3]).max(initial=0)),
-                       int(np.asarray(r[4]).max(initial=0)))
-                   for r in res)
-        if over > min(ncap, worst) and ncap < worst:
-            log.warn_cap(
-                "dbg_node_cap_grow",
-                "DBG node/edge cap %d overflowed (%d distinct); "
-                "retrying at %d", ncap, over, ncap * 2)
-            ncap *= 2
-            continue
-        ucnts = [np.asarray(r[2]) for r in res]
-        if any((uc >= mu).any() for uc in ucnts) and mu < (1 << 14):
-            log.warn_cap(
-                "unitig_slots_grow",
-                "unitig slots saturated at %d for %d gap(s); "
-                "retrying at %d", mu,
-                int(sum((uc >= mu).sum() for uc in ucnts)), mu * 2)
-            mu *= 2
-            continue
-        break
-    for (k, sub_k), r in zip(cfg.kmers, res):
-        useq, ulen, ucnt = (np.asarray(r[0]), np.asarray(r[1]),
-                            np.asarray(r[2]))
+    for (k, sub_k) in cfg.kmers:
+        kstr, nk, kcnt = kmer_cache[k]
+        md = kstr.shape[1]
+        if cfg.max_contig_len > 0:
+            max_len = cfg.max_contig_len
+        else:
+            max_len = _next_pow2(md + k)
+        mu = max(cfg.max_unitigs, 1)
+        # DBG working-set caps from the OBSERVED distinct counts: the
+        # pointer-doubling gathers scale with the padded node count and
+        # the worst-case bound is ~6x the typical one (TPU gathers are
+        # the assembly cost center; cap right-sizing measured 2x on the
+        # whole block, scripts/dbgbench.py); start near the
+        # contiguous-region estimate and auto-grow on overflow.
+        nk_max = max(int(np.asarray(nk).max(initial=0)), 1)
+        ncap = _next_pow2(2 * nk_max + 4 * k)
+        worst = kstr.shape[1] * 2 * (k - sub_k + 1)
+        while True:
+            useq, ulen, ucnt, n_nodes, n_edges = dbg.assemble_unitigs(
+                jnp.asarray(kstr), jnp.asarray(nk), jnp.asarray(kcnt),
+                k=k, sub_k=sub_k,
+                max_unitigs=mu, max_len=max_len,
+                min_len=cfg.min_contig_len,
+                pop_bubbles=cfg.bubble_pop_rounds,
+                node_cap=min(ncap, worst),
+                edge_cap=min(ncap, worst))
+            useq, ulen, ucnt = map(np.asarray, (useq, ulen, ucnt))
+            over = max(int(np.asarray(n_nodes).max(initial=0)),
+                       int(np.asarray(n_edges).max(initial=0)))
+            if over > min(ncap, worst) and ncap < worst:
+                log.warn_cap(
+                    "dbg_node_cap_grow",
+                    "DBG node/edge cap %d overflowed (%d distinct, "
+                    "k=%d); retrying at %d", ncap, over, k, ncap * 2)
+                ncap *= 2
+                continue
+            if (ucnt >= mu).any() and mu < (1 << 14):
+                log.warn_cap(
+                    "unitig_slots_grow",
+                    "unitig slots saturated at %d for %d gap(s) "
+                    "(k=%d); retrying at %d", mu, int((ucnt >= mu).sum()),
+                    k, mu * 2)
+                mu *= 2
+                continue
+            break
         if cfg.max_contig_len > 0 and (ulen >= max_len).any():
             log.warn_cap(
                 "contig_len_truncated",

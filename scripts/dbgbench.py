@@ -78,7 +78,7 @@ def main():
         nks[k] = jnp.asarray(nk)
         kcnts[k] = jnp.asarray(np.ones((gaps, M), np.int32))
 
-    ncap = max(dims.effective_node_cap(k) for k, _ in dims.kset)
+    ncap = 4096  # right-sized: ~2*region_len + margin (the shipped path derives this from observed nk)
     mu, Lc, ml = 4, 2048, 40
 
     def run_persetting(w):
@@ -87,8 +87,8 @@ def main():
             outs.append(dbg.assemble_unitigs(
                 kstrs[k], nks[k] + w, kcnts[k], k=k, sub_k=sk,
                 max_unitigs=mu, max_len=Lc, min_len=ml,
-                node_cap=dims.effective_node_cap(k),
-                edge_cap=dims.effective_node_cap(k)))
+                node_cap=ncap,
+                edge_cap=ncap))
         return outs
 
     def run_multi(w):
