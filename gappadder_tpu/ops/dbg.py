@@ -257,6 +257,11 @@ def _graph_chains(u_id_raw, v_id_raw, edge_valid, node_valid, N: int,
     off = jnp.where(is_head, 0, 1).astype(jnp.int32)
     use_while = jax.default_backend() == "tpu"
     if packed_ok:
+        # one fused loop carrying (mn << shift | p) packed + off; the
+        # [N, 2] ROW gather is the fastest lowered form on TPU (a
+        # packed single-word [N] gather with a separate zero-iteration
+        # min-id pass measured 139 vs 113 ms on the production DBG
+        # block — row gathers lower better than element gathers)
         lo = (1 << shift) - 1
 
         def _body(c):

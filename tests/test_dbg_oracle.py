@@ -113,13 +113,21 @@ def _oracle_unitigs(kstrings, sub_k, min_len):
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("k,sub_k", [(17, 11), (21, 15)])
-def test_dbg_matches_bruteforce(seed, k, sub_k):
+@pytest.mark.parametrize("with_cycle", [False, True])
+def test_dbg_matches_bruteforce(seed, k, sub_k, with_cycle):
     rng = np.random.default_rng(seed)
     # random sequences with shared chunks to create branches/cycles
     base = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 80)])
     seqs = [base,
             base[20:60] + "".join(np.array(list("ACGT"))[rng.integers(0, 4, 30)]),
             "".join(np.array(list("ACGT"))[rng.integers(0, 4, 50)])]
+    if with_cycle:
+        # a periodic repeat whose period exceeds sub_k forces a true
+        # DBG cycle (regression: the packed doubling's hop field
+        # overflowed on cycles and carried into the pointer bits)
+        per = "".join(np.array(list("ACGT"))[rng.integers(0, 4,
+                                                         sub_k + 2)])
+        seqs.append((per * 5)[:3 * sub_k + 7])
     kstr = set()
     for s in seqs:
         for i in range(len(s) - k + 1):
