@@ -48,6 +48,15 @@ BUDGET = float(os.environ.get("GAPPADDER_BENCH_BUDGET", "420"))
 CACHED_CPU = {"gaps_per_s_1shard": 116.7, "gaps_per_s_8shard": 152.7,
               "source": "builder-local round 3 (2-core CPU)"}
 
+# CPU-backend run of the PRODUCTION-shape slice (six (k,sub_k)
+# 30/40/50, 300bp flanks, 16 gaps/step; scripts/slice_bench.py
+# --production --cpu). Too slow to fit the bench budget live
+# (~5 min of CPU compiles), so the builder-local figure backs the
+# production vs_baseline row; re-measure with the same command.
+CACHED_CPU_PRODUCTION = {"gaps_per_s": 21.2,
+                         "source": "builder-local round 5 (2-core CPU, "
+                                   "live run 2026-08-21)"}
+
 
 def remaining() -> float:
     return BUDGET - (time.monotonic() - _T0)
@@ -128,6 +137,10 @@ def main():
     if prod_row:
         extras["e2e_production_gaps_per_s"] = round(
             prod_row["gaps_per_s"], 1)
+        extras["e2e_production_vs_baseline"] = round(
+            prod_row["gaps_per_s"]
+            / CACHED_CPU_PRODUCTION["gaps_per_s"], 2)
+        extras["e2e_production_cpu_baseline"] = CACHED_CPU_PRODUCTION
         extras["e2e_production_unit"] = (
             "gaps/s, fused slice at REFERENCE shape: six (k,sub_k) "
             "30/40/50, 300bp flanks, 100bp reads, skewed 100-1000bp "

@@ -148,7 +148,14 @@ def _bitonic_call(stacked, *, num_keys: int, n_ops: int, R: int, n: int,
 
 def _use_pallas(n_pad: int, n_ops: int, backend: str | None) -> bool:
     import os
-    if os.environ.get("GPT_NO_PSORT"):      # A/B experiments
+    # OPT-IN (GPT_PSORT=1): measured IN SITU the XLA variadic sort
+    # beats this kernel at both pipeline shapes — toy 64-gap slice
+    # 1766 vs 1376 gaps/s, production 16-gap 125.3 vs 108.4 — even
+    # though the isolated microbench (scripts/sortbench.py) shows the
+    # kernel 1.4-5x faster at [16, 8k-32k] shapes: XLA fuses/overlaps
+    # its sorts with neighboring ops while a pallas_call is an opaque
+    # barrier. Kept for future JAX versions + as the measured record.
+    if not os.environ.get("GPT_PSORT"):
         return False
     if (backend or jax.default_backend()) != "tpu":
         return False

@@ -3,7 +3,7 @@
 Variants:
   persetting  one assemble_unitigs call per (k, sub_k)  (round-4 path)
   multi       one assemble_unitigs_multi call (all settings batched)
-Both with / without the Pallas bitonic sort (GPT_NO_PSORT=1 to disable).
+Both with / without the Pallas bitonic sort (GPT_PSORT=1 to enable).
 
 Usage: python scripts/dbgbench.py [--cpu] [--gaps=16] [--variant=both]
 Prints one JSON line per variant (slope-timed).
@@ -129,7 +129,7 @@ def main():
         t = slope(fn)
         print(json.dumps({
             "variant": v, "gaps": gaps,
-            "psort": not bool(os.environ.get("GPT_NO_PSORT")),
+            "psort": bool(os.environ.get("GPT_PSORT")),
             "ms": round(t * 1e3, 2),
             "gaps_per_s_equiv": round(gaps / t, 1),
             "backend": jax.default_backend()}), flush=True)

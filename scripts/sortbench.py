@@ -48,6 +48,7 @@ def bench_sort(G, N, nl, impl, rng):
         def one(ops):
             return jax.lax.sort(tuple(ops), dimension=1, num_keys=nl)
     else:
+        os.environ["GPT_PSORT"] = "1"     # kernel is opt-in by default
         from gappadder_tpu.ops.psort import bitonic_sort
 
         def one(ops):
