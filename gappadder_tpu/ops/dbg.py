@@ -564,7 +564,17 @@ def _core_lane(occ_keys, sub_k, covdata, *, sub_k_max: int,
     fd = jnp.argmax(diff, axis=1)
     a = jnp.take_along_axis(out, fd[:, None], axis=1)[:, 0]
     b = jnp.take_along_axis(rcseq, fd[:, None], axis=1)[:, 0]
-    keep = ~any_diff | (a <= b)       # palindrome or canonical strand
+    # PATH unitigs: the twin path's linearization is the exact revcomp,
+    # so keeping only the lex-canonical strand dedups the pair. CYCLE
+    # unitigs (head created by the min-id cycle break, i.e. NOT a
+    # prev fixed point): the twin cycle breaks at ITS min-id node, a
+    # generally different rotation — rc(S_A) != S_B — so strand-dropping
+    # can kill BOTH twins. Emit every cycle linearization on its
+    # canonical strand instead (both rotations survive, matching the
+    # brute-force oracle's min(s, rc(s)) per broken cycle).
+    cyc_head = top_ok & ~g["is_head"][jnp.clip(top, 0, N - 1)]
+    keep = ~any_diff | (a <= b) | cyc_head
+    out = jnp.where((cyc_head & any_diff & (b < a))[:, None], rcseq, out)
     keep = keep & (lens > 0)
     order2 = jnp.argsort(~keep, stable=True)
     out = out[order2]
